@@ -1,0 +1,194 @@
+"""The MTP model: parameters + schedule + batched energy/force evaluation.
+
+Splits the reference's monolithic pair style into the TPU-idiomatic pieces:
+
+* :class:`MTPCoeffs` — the differentiable coefficient pytree (radial, species,
+  linear), the arrays `PairMTP::read_file` loads (pair_mtp.cpp:441-569).
+* :class:`MTPSchedule` (ops/moments.py) — the static contraction program
+  (alpha tables), a trace-time constant.
+* :func:`mtp_energy_forces` — energy, forces, virial over a padded neighbor
+  representation; the analog of `PairMTP::compute` (pair_mtp.cpp:72-280) but
+  batched over all atoms and differentiated by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtp_tpu.io.mtp_file import MTPData
+from mtp_tpu.ops.moments import (
+    MTPSchedule,
+    site_energies,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MTPCoeffs:
+    """Differentiable MTP coefficients (a JAX pytree)."""
+
+    radial_coeffs: jax.Array  # (S, S, MU, RB)
+    species_coeffs: jax.Array  # (S,)
+    moment_coeffs: jax.Array  # (n_scalar,)
+
+
+@dataclasses.dataclass(frozen=True)
+class MTPModel:
+    """Bundle of schedule (static) + coefficients (pytree) + AL state."""
+
+    schedule: MTPSchedule
+    coeffs: MTPCoeffs
+    inverse_active_set: Optional[jax.Array] = None  # (P, P)
+    active_set: Optional[np.ndarray] = None
+    configuration_mode: bool = False
+
+    @property
+    def cutoff(self) -> float:
+        return self.schedule.max_dist
+
+    @classmethod
+    def from_data(cls, m: MTPData, dtype=jnp.float32) -> "MTPModel":
+        sched = MTPSchedule.from_tables(
+            species_count=m.species_count,
+            radial_basis_size=m.radial_basis_size,
+            radial_funcs_count=m.radial_funcs_count,
+            min_dist=m.min_dist,
+            max_dist=m.max_dist,
+            scaling=m.scaling,
+            alpha_moments_count=m.alpha_moments_count,
+            alpha_index_basic=m.alpha_index_basic,
+            alpha_index_times=m.alpha_index_times,
+            alpha_moment_mapping=m.alpha_moment_mapping,
+        )
+        coeffs = MTPCoeffs(
+            radial_coeffs=jnp.asarray(m.radial_coeffs, dtype=dtype),
+            species_coeffs=jnp.asarray(m.species_coeffs, dtype=dtype),
+            moment_coeffs=jnp.asarray(m.moment_coeffs, dtype=dtype),
+        )
+        inv = act = None
+        cfg = False
+        if m.mvs is not None:
+            inv = jnp.asarray(m.mvs.inverse_active_set, dtype=dtype)
+            act = m.mvs.active_set
+            cfg = m.mvs.configuration_mode
+        return cls(
+            schedule=sched,
+            coeffs=coeffs,
+            inverse_active_set=inv,
+            active_set=act,
+            configuration_mode=cfg,
+        )
+
+    @classmethod
+    def load(cls, path: str, dtype=jnp.float32) -> "MTPModel":
+        from mtp_tpu.io.mtp_file import load_mtp
+
+        return cls.from_data(load_mtp(path), dtype=dtype)
+
+
+def minimum_image(disp, cell, inv_cell):
+    """Wrap displacement vectors to the nearest periodic image.
+
+    Valid when the cell is at least twice the cutoff in every perpendicular
+    width (the usual MD constraint; the reference inherits it from LAMMPS's
+    domain decomposition).
+    """
+    frac = disp @ inv_cell
+    frac -= jnp.round(frac)
+    return frac @ cell
+
+
+def gather_displacements(positions, nbr_idx, cell=None, inv_cell=None):
+    """disp[i, jj] = x[nbr_idx[i, jj]] - x[i], minimum-imaged if periodic."""
+    disp = positions[nbr_idx] - positions[:, None, :]
+    if cell is not None:
+        disp = minimum_image(disp, cell, inv_cell)
+    return disp
+
+
+@partial(jax.jit, static_argnames=("sched", "remat", "compute_vatom"))
+def mtp_energy_forces(
+    sched: MTPSchedule,
+    coeffs: MTPCoeffs,
+    positions,
+    types,
+    nbr_idx,
+    cell=None,
+    *,
+    remat: bool = True,
+    compute_vatom: bool = False,
+):
+    """Energy, forces, virial for one configuration.
+
+    Args:
+      positions: (N, 3).
+      types: (N,) int32, 0-indexed species.
+      nbr_idx: (N, J) int32 padded neighbor indices; padding entries must
+        equal the row's own atom index (self-pairs are masked out).
+      cell: optional (3, 3) row-vector cell for periodic boundaries.
+
+    Returns dict: energy (scalar), site_energies (N,), forces (N,3),
+    virial (6,) in Voigt order (xx,yy,zz,xy,xz,yz), and optionally
+    vatom (N,6).
+    """
+    n = positions.shape[0]
+    inv_cell = jnp.linalg.inv(cell) if cell is not None else None
+    disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
+    d2 = jnp.sum(disp * disp, axis=-1)
+    self_pair = nbr_idx == jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
+    mask = (d2 <= sched.max_dist**2) & (~self_pair)
+
+    itypes = types
+    jtypes = types[nbr_idx]
+
+    fn = site_energies
+    if remat:
+        fn = jax.checkpoint(fn, static_argnums=(0,))
+    site_e, vjp = jax.vjp(lambda d: fn(sched, coeffs, d, mask, itypes, jtypes), disp)
+    (pair_t,) = vjp(jnp.ones_like(site_e))
+    pair_t = pair_t * mask[..., None].astype(pair_t.dtype)
+
+    # Newton's-third-law scatter (pair_mtp.cpp:248-254): +T to the center,
+    # -T to each neighbor.
+    forces = jnp.sum(pair_t, axis=1)
+    forces = forces.at[nbr_idx.reshape(-1)].add(-pair_t.reshape(-1, 3))
+
+    # virial tally (pair_mtp.cpp:257-266): W -= sym(T (x) r)
+    r = jnp.where(mask[..., None], disp, 0.0)
+    vxx = -jnp.sum(pair_t[..., 0] * r[..., 0], axis=1)
+    vyy = -jnp.sum(pair_t[..., 1] * r[..., 1], axis=1)
+    vzz = -jnp.sum(pair_t[..., 2] * r[..., 2], axis=1)
+    vxy = -0.5 * jnp.sum(pair_t[..., 0] * r[..., 1] + pair_t[..., 1] * r[..., 0], axis=1)
+    vxz = -0.5 * jnp.sum(pair_t[..., 0] * r[..., 2] + pair_t[..., 2] * r[..., 0], axis=1)
+    vyz = -0.5 * jnp.sum(pair_t[..., 1] * r[..., 2] + pair_t[..., 2] * r[..., 1], axis=1)
+    vatom = jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)  # (N, 6)
+    virial = jnp.sum(vatom, axis=0)
+
+    out = dict(
+        energy=jnp.sum(site_e),
+        site_energies=site_e,
+        forces=forces,
+        virial=virial,
+    )
+    if compute_vatom:
+        out["vatom"] = vatom
+    return out
+
+
+def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
+    """Total potential energy only (no force computation)."""
+    n = positions.shape[0]
+    inv_cell = jnp.linalg.inv(cell) if cell is not None else None
+    disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
+    d2 = jnp.sum(disp * disp, axis=-1)
+    self_pair = nbr_idx == jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
+    mask = (d2 <= sched.max_dist**2) & (~self_pair)
+    return jnp.sum(
+        site_energies(sched, coeffs, disp, mask, types, types[nbr_idx])
+    )

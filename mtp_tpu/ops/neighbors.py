@@ -1,0 +1,183 @@
+"""Neighbor-list construction with static shapes (TPU/jit-friendly).
+
+The reference delegates neighbor lists to LAMMPS (full lists requested at
+pair_mtp.cpp:318; rectangular (chunk, max_neighs) padding assumed at
+pair_mtp_kokkos.cpp:277-282). Here the neighbor engine is a first-class
+component: a periodic cell (bin) list built entirely from sort/segment
+primitives so it runs under `jit` with fixed shapes.
+
+Representation: padded index array `idx (N, max_neighbors) int32` where
+padding entries equal the row's own atom index (self-pairs are masked by the
+compute path). Overflow (more candidates than fit) is reported in a flag, the
+TPU-world version of LAMMPS's "neighbor list overflow" error — callers re-build
+with a larger capacity.
+
+Requires every perpendicular cell width >= 2*cutoff (minimum-image regime);
+`check_cell` validates this on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NeighborList:
+    idx: jax.Array  # (N, max_neighbors) int32, padded with self-index
+    overflow: jax.Array  # () bool — capacity exceeded somewhere
+    reference_positions: jax.Array  # positions at build time (for skin check)
+
+
+def perpendicular_widths(cell: np.ndarray) -> np.ndarray:
+    """Perpendicular widths of a (row-vector) cell matrix."""
+    inv = np.linalg.inv(np.asarray(cell, dtype=np.float64))
+    return 1.0 / np.linalg.norm(inv, axis=1)
+
+
+def check_cell(cell, cutoff: float) -> None:
+    w = perpendicular_widths(cell)
+    if (w < 2.0 * cutoff).any():
+        raise ValueError(
+            f"cell widths {w} must be >= 2*cutoff ({2 * cutoff}) for the "
+            "minimum-image neighbor engine; replicate the cell first"
+        )
+
+
+def grid_shape(cell, cutoff: float) -> tuple:
+    """Static bin-grid shape: as many bins as fit with width >= cutoff."""
+    w = perpendicular_widths(cell)
+    return tuple(int(max(1, np.floor(wi / cutoff))) for wi in w)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_neighbors", "grid", "include_self_image"),
+)
+def build_neighbor_list(
+    positions,
+    cell,
+    cutoff,
+    *,
+    max_neighbors: int,
+    grid: tuple,
+    include_self_image: bool = False,
+):
+    """Periodic cell-list neighbor build.
+
+    Args:
+      positions: (N, 3); may be unwrapped (wrapped internally).
+      cell: (3, 3) row-vector cell matrix.
+      cutoff: neighbor cutoff (typically model cutoff + Verlet skin).
+      max_neighbors: static output width J.
+      grid: static bin grid (from :func:`grid_shape`); each dim >= 1. When a
+        dim is < 3 bins, all bins along it are candidates (correct, slower).
+
+    Returns :class:`NeighborList`.
+    """
+    n = positions.shape[0]
+    gx, gy, gz = grid
+    ncells = gx * gy * gz
+    inv_cell = jnp.linalg.inv(cell)
+    frac = positions @ inv_cell
+    frac = frac - jnp.floor(frac)  # wrap to [0,1)
+
+    dims = jnp.asarray(grid)
+    bin3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
+    bin_id = (bin3[:, 0] * gy + bin3[:, 1]) * gz + bin3[:, 2]
+
+    # sort atoms by bin; ranks within bin give a collision-free cell table
+    order = jnp.argsort(bin_id)
+    sorted_bin = bin_id[order]
+    # capacity: atoms per bin, padded
+    cap = max(1, int(np.ceil(4.0 * n / ncells)) + 8)
+    counts = jnp.zeros((ncells,), jnp.int32).at[sorted_bin].add(1)
+    cell_overflow = jnp.max(counts) > cap
+    start = jnp.cumsum(counts) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - start[sorted_bin]
+    table = jnp.full((ncells, cap), -1, dtype=jnp.int32)
+    table = table.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(
+        order.astype(jnp.int32)
+    )
+
+    # candidate bins: 3x3x3 stencil around each atom's bin (with wrap).
+    # When a dimension has <3 bins use all of them exactly once.
+    def offs(g):
+        return np.arange(g) if g < 3 else np.array([-1, 0, 1])
+
+    stencil = np.array(
+        [(ox, oy, oz) for ox in offs(gx) for oy in offs(gy) for oz in offs(gz)],
+        dtype=np.int32,
+    )  # (K, 3)
+    nb3 = (bin3[:, None, :] + stencil[None, :, :]) % dims  # (N, K, 3)
+    nb_id = (nb3[..., 0] * gy + nb3[..., 1]) * gz + nb3[..., 2]  # (N, K)
+    cand = table[nb_id].reshape(n, -1)  # (N, K*cap)
+    cand_valid = cand >= 0
+    cand_safe = jnp.where(cand_valid, cand, 0)
+
+    # distance filter with minimum image
+    disp = positions[cand_safe] - positions[:, None, :]
+    f = disp @ inv_cell
+    f -= jnp.round(f)
+    disp = f @ cell
+    d2 = jnp.sum(disp * disp, axis=-1)
+    self_row = cand_safe == jnp.arange(n, dtype=jnp.int32)[:, None]
+    keep = cand_valid & (d2 <= cutoff * cutoff) & (~self_row)
+    if include_self_image:
+        # count self periodic images too (only correct for tiny cells;
+        # min-image regime excludes them)
+        keep = keep | (cand_valid & (d2 <= cutoff * cutoff) & self_row & (d2 > 1e-12))
+
+    # compact each row's kept candidates to the front (stable argsort of ~keep)
+    sort_key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    take = jnp.argsort(sort_key, axis=1, stable=True)[:, :max_neighbors]
+    row_keep = jnp.take_along_axis(keep, take, axis=1)
+    row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
+    self_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    idx = jnp.where(row_keep, row_idx, self_col)
+
+    nbr_overflow = jnp.max(jnp.sum(keep, axis=1)) > max_neighbors
+    return NeighborList(
+        idx=idx.astype(jnp.int32),
+        overflow=cell_overflow | nbr_overflow,
+        reference_positions=positions,
+    )
+
+
+def build_neighbor_list_bruteforce(positions, cell, cutoff, *, max_neighbors: int):
+    """O(N^2) all-pairs build (tests / small systems)."""
+    n = positions.shape[0]
+    disp = positions[None, :, :] - positions[:, None, :]
+    if cell is not None:
+        inv_cell = jnp.linalg.inv(cell)
+        f = disp @ inv_cell
+        f -= jnp.round(f)
+        disp = f @ cell
+    d2 = jnp.sum(disp * disp, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    keep = (d2 <= cutoff * cutoff) & (~eye)
+    sort_key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    take = jnp.argsort(sort_key, axis=1, stable=True)[:, :max_neighbors]
+    row_keep = jnp.take_along_axis(keep, take, axis=1)
+    self_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    idx = jnp.where(row_keep, take.astype(jnp.int32), self_col)
+    overflow = jnp.max(jnp.sum(keep, axis=1)) > max_neighbors
+    return NeighborList(
+        idx=idx, overflow=overflow, reference_positions=positions
+    )
+
+
+def needs_rebuild(nl: NeighborList, positions, cell, skin: float):
+    """Verlet criterion: any atom moved more than skin/2 since build."""
+    disp = positions - nl.reference_positions
+    if cell is not None:
+        inv_cell = jnp.linalg.inv(cell)
+        f = disp @ inv_cell
+        f -= jnp.round(f)
+        disp = f @ cell
+    return jnp.max(jnp.sum(disp * disp, axis=-1)) > (0.5 * skin) ** 2

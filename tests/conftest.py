@@ -1,0 +1,53 @@
+"""Test configuration: run on CPU with 8 virtual devices (the TPU-world analog
+of multi-node testing without a cluster; SURVEY.md §4) and float64 enabled so
+golden-parity checks are exact."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from mtp_tpu.io.basis_gen import make_mtp  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mtp_level8():
+    return make_mtp(8, species_count=1, seed=0)
+
+
+@pytest.fixture(scope="session")
+def mtp_level8_2spec():
+    return make_mtp(8, species_count=2, seed=3)
+
+
+@pytest.fixture(scope="session")
+def mtp_level12():
+    return make_mtp(12, species_count=1, seed=1)
+
+
+def scatter_cluster(n, rng, span=6.0, min_sep=1.8):
+    """Random cluster with a minimum separation (avoids r=0 singularities)."""
+    pos = rng.uniform(0, span, (n, 3))
+    for _ in range(500):
+        d = pos[:, None] - pos[None, :]
+        dist = np.linalg.norm(d, axis=-1) + np.eye(n) * 100
+        if dist.min() > min_sep:
+            break
+        i, j = divmod(dist.argmin(), n)
+        pos[i] += 0.3 * (pos[i] - pos[j]) / dist[i, j]
+    return pos
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,98 @@
+"""Cell-list neighbor engine vs brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtp_tpu.ops.neighbors import (
+    build_neighbor_list,
+    build_neighbor_list_bruteforce,
+    check_cell,
+    grid_shape,
+    needs_rebuild,
+)
+
+
+def neighbor_sets(idx):
+    """Convert padded idx (self-padded) to a list of sets."""
+    out = []
+    for i, row in enumerate(np.asarray(idx)):
+        out.append(set(int(j) for j in row if j != i))
+    return out
+
+
+@pytest.mark.parametrize("n,L", [(40, 12.0), (100, 14.0)])
+def test_cell_list_matches_bruteforce(n, L, rng):
+    cell = np.diag([L, L * 1.05, L * 0.95])
+    pos = rng.uniform(0, L, (n, 3))
+    cutoff = 3.5
+    check_cell(cell, cutoff)
+    g = grid_shape(cell, cutoff)
+    nl = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), cutoff, max_neighbors=48, grid=g
+    )
+    bf = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), jnp.asarray(cell), cutoff, max_neighbors=48
+    )
+    assert not bool(nl.overflow)
+    assert not bool(bf.overflow)
+    assert neighbor_sets(nl.idx) == neighbor_sets(bf.idx)
+
+
+def test_triclinic_cell(rng):
+    cell = np.array([[12.0, 0, 0], [2.0, 12.0, 0], [1.0, -1.5, 12.0]])
+    pos = rng.uniform(0, 12.0, (60, 3))
+    cutoff = 3.0
+    check_cell(cell, cutoff)
+    g = grid_shape(cell, cutoff)
+    nl = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), cutoff, max_neighbors=48, grid=g
+    )
+    bf = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), jnp.asarray(cell), cutoff, max_neighbors=48
+    )
+    assert neighbor_sets(nl.idx) == neighbor_sets(bf.idx)
+
+
+def test_unwrapped_positions(rng):
+    """Builder must wrap out-of-box positions itself."""
+    L = 12.0
+    cell = np.diag([L, L, L])
+    pos = rng.uniform(0, L, (50, 3))
+    shifted = pos + np.array([3 * L, -2 * L, L])
+    g = grid_shape(cell, 3.0)
+    nl0 = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), 3.0, max_neighbors=40, grid=g
+    )
+    nl1 = build_neighbor_list(
+        jnp.asarray(shifted), jnp.asarray(cell), 3.0, max_neighbors=40, grid=g
+    )
+    assert neighbor_sets(nl0.idx) == neighbor_sets(nl1.idx)
+
+
+def test_overflow_flag(rng):
+    L = 12.0
+    cell = np.diag([L, L, L])
+    pos = rng.uniform(0, L, (80, 3))
+    g = grid_shape(cell, 4.0)
+    nl = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), 4.0, max_neighbors=2, grid=g
+    )
+    assert bool(nl.overflow)
+
+
+def test_check_cell_rejects_small():
+    with pytest.raises(ValueError):
+        check_cell(np.diag([5.0, 20.0, 20.0]), 3.0)
+
+
+def test_needs_rebuild(rng):
+    L = 12.0
+    cell = jnp.asarray(np.diag([L, L, L]))
+    pos = jnp.asarray(rng.uniform(0, L, (20, 3)))
+    g = grid_shape(np.asarray(cell), 3.0)
+    nl = build_neighbor_list(pos, cell, 3.0, max_neighbors=40, grid=g)
+    assert not bool(needs_rebuild(nl, pos, cell, skin=1.0))
+    moved = pos.at[0, 0].add(0.6)
+    assert bool(needs_rebuild(nl, moved, cell, skin=1.0))
+    assert not bool(needs_rebuild(nl, moved, cell, skin=1.3))
