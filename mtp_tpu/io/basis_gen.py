@@ -402,6 +402,14 @@ def generate_basis(
     )
 
 
+def _fit_radial(vals_fn, target_fn, d_grid, rb):
+    """Least-squares fit of a radial profile onto the Chebyshev basis."""
+    A = np.stack([vals_fn(d) for d in d_grid])  # (G, rb)
+    t = np.array([target_fn(d) for d in d_grid])
+    c, *_ = np.linalg.lstsq(A, t, rcond=None)
+    return c
+
+
 def make_mtp(
     level_max: int,
     *,
@@ -412,18 +420,63 @@ def make_mtp(
     scaling: float = 1.0,
     seed: int = 0,
     coeff_scale: float = 1e-2,
+    stabilize: float = 1.0,
+    r0: float = 2.85,
+    well_depth: float = 0.08,
 ) -> MTPData:
-    """Mint a complete MTPData with random (but well-scaled) coefficients."""
+    """Mint a complete MTPData with random (but well-scaled) coefficients.
+
+    When ``stabilize > 0``, the mu=0 radial function is fit to a Morse-like
+    pair profile (repulsive core + shallow well at ``r0``) and wired to the
+    rank-0 scalar with unit weight, so minted potentials support stable MD —
+    the random many-body terms perturb around that baseline.
+    """
     basis = generate_basis(level_max, seed=seed)
     rng = np.random.default_rng(seed + 1)
     mu = basis["radial_funcs_count"]
     radial_coeffs = rng.normal(
         size=(species_count, species_count, mu, radial_basis_size)
     ) * (0.5 / radial_basis_size)
-    species_coeffs = rng.normal(size=species_count)
+    species_coeffs = rng.normal(size=species_count) * coeff_scale
     # scale linear coefficients down with level so high-rank products don't blow up
     levels = np.asarray(basis["levels"], dtype=np.float64)
     moment_coeffs = rng.normal(size=len(levels)) * coeff_scale * 4.0 ** (-levels / 4.0)
+
+    if stabilize > 0:
+        from mtp_tpu.utils.golden import chebyshev_basis as _cheb
+
+        tmp = MTPData(
+            species_count=species_count,
+            scaling=scaling,
+            min_dist=min_dist,
+            max_dist=max_dist,
+            radial_basis_size=radial_basis_size,
+            radial_funcs_count=mu,
+            radial_basis_type="RBChebyshev",
+            radial_coeffs=radial_coeffs,
+            alpha_moments_count=basis["alpha_moments_count"],
+            alpha_index_basic=basis["alpha_index_basic"],
+            alpha_index_times=basis["alpha_index_times"],
+            alpha_moment_mapping=basis["alpha_moment_mapping"],
+            species_coeffs=species_coeffs,
+            moment_coeffs=moment_coeffs,
+        )
+        a_m = 1.6  # Morse width [1/A]
+        morse = lambda d: well_depth * (
+            (1.0 - np.exp(-a_m * (d - r0))) ** 2 - 1.0
+        ) * 0.5  # half: each pair counted from both ends
+
+        d_grid = np.linspace(min_dist * 0.85, max_dist, 96)
+        c0 = _fit_radial(
+            lambda d: _cheb(tmp, d)[0], morse, d_grid, radial_basis_size
+        )
+        # locate the scalar slot mapped to the (mu=0, rank-0) basic moment
+        aib = basis["alpha_index_basic"]
+        rank0 = np.where((aib[:, 0] == 0) & (aib[:, 1:].sum(axis=1) == 0))[0]
+        slot = np.where(basis["alpha_moment_mapping"] == rank0[0])[0]
+        radial_coeffs[:, :, 0, :] = c0 * stabilize
+        moment_coeffs[slot[0]] = 1.0
+
     return MTPData(
         species_count=species_count,
         scaling=scaling,

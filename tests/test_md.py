@@ -1,0 +1,126 @@
+"""MD integration tests: NVE drift, thermostats, barostat, lattice builder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtp_tpu.md import integrators as itg
+from mtp_tpu.md.simulation import Simulation, make_lattice
+from mtp_tpu.md.state import (
+    init_state,
+    kinetic_energy,
+    pressure_of,
+    temperature_of,
+    thermalize,
+)
+from mtp_tpu.models.mtp import MTPModel
+
+
+@pytest.fixture(scope="module")
+def system(mtp_level8):
+    """2x2x2 fcc box, wide enough for minimum-image at cutoff+skin."""
+    m = mtp_level8
+    model = MTPModel.from_data(m, dtype=jnp.float64)
+    a = 4.0
+    pos, types, cell = make_lattice("fcc", a, (3, 3, 3))
+    masses = np.full(len(pos), 58.693)  # Ni
+    state = init_state(pos, types, masses, cell, dtype=jnp.float64)
+    return model, state
+
+
+def test_lattice_builder():
+    pos, types, cell = make_lattice("bcc", 3.0, (2, 2, 2), type_pattern=(0, 1))
+    assert pos.shape == (16, 3)
+    assert set(types.tolist()) == {0, 1}
+    np.testing.assert_allclose(cell, np.diag([6.0, 6.0, 6.0]))
+
+
+def test_nve_energy_conservation(system):
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(0), state0, 300.0)
+    sim = Simulation(model, max_neighbors=48, skin=0.6, steps_per_rebuild=5)
+
+    energies = []
+
+    def obs(s):
+        energies.append(float(s.potential_energy + kinetic_energy(s)))
+
+    state, _ = sim.run(state, 100, ensemble="nve", dt=0.001, observer=obs)
+    e = np.array(energies)
+    drift = np.abs(e - e[0]).max()
+    scale = max(1.0, abs(e[0]))
+    assert drift < 2e-6 * scale * state.n_atoms, f"energy drift {drift}"
+    assert int(state.step) == 100
+
+
+def test_nve_reversibility(system):
+    """Integrate forward then backward: positions must return (symplectic)."""
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(1), state0, 200.0)
+    sim = Simulation(model, max_neighbors=48, skin=0.6, steps_per_rebuild=50)
+    fwd, _ = sim.run(state, 20, ensemble="nve", dt=0.001)
+    import dataclasses
+
+    rev = dataclasses.replace(fwd, velocities=-fwd.velocities)
+    back, _ = sim.run(rev, 20, ensemble="nve", dt=0.001)
+    np.testing.assert_allclose(
+        np.asarray(back.positions), np.asarray(state.positions), atol=1e-8
+    )
+
+
+def test_nvt_temperature_control(system):
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(2), state0, 150.0)
+    sim = Simulation(model, max_neighbors=48, skin=0.6, steps_per_rebuild=10)
+    temps = []
+    state, _ = sim.run(
+        state,
+        400,
+        ensemble="nvt",
+        dt=0.002,
+        temperature=300.0,
+        tdamp=0.05,
+        observer=lambda s: temps.append(float(temperature_of(s))),
+    )
+    late = np.mean(temps[len(temps) // 2 :])
+    assert 200.0 < late < 400.0, f"NVT failed to approach target: {late:.1f} K"
+
+
+def test_langevin_temperature(system):
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(3), state0, 100.0)
+    sim = Simulation(model, max_neighbors=48, skin=0.6, steps_per_rebuild=10)
+    temps = []
+    state, _ = sim.run(
+        state,
+        300,
+        ensemble="langevin",
+        dt=0.002,
+        temperature=300.0,
+        tdamp=0.05,
+        observer=lambda s: temps.append(float(temperature_of(s))),
+    )
+    late = np.mean(temps[len(temps) // 2 :])
+    assert 180.0 < late < 450.0, f"Langevin off target: {late:.1f} K"
+
+
+def test_npt_runs_and_couples_cell(system):
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(4), state0, 200.0)
+    sim = Simulation(model, max_neighbors=64, skin=0.8, steps_per_rebuild=5)
+    v0 = float(jnp.linalg.det(state.cell))
+    state, _ = sim.run(
+        state,
+        50,
+        ensemble="npt",
+        dt=0.001,
+        temperature=200.0,
+        pressure=0.0,
+        tdamp=0.1,
+        pdamp=0.5,
+    )
+    v1 = float(jnp.linalg.det(state.cell))
+    assert np.isfinite(v1) and v1 != v0  # barostat moved the cell
+    assert np.isfinite(float(pressure_of(state)))
+    assert np.isfinite(np.asarray(state.positions)).all()
