@@ -1,0 +1,157 @@
+"""Active-learning driver: extrapolation-grade evaluation during MD, with the
+reference's two observation styles and two-threshold selection semantics.
+
+* LAMMPS style (reference README.md:60-82): grades computed every N steps on
+  request; per-atom grades and the scalar max grade are exposed as observables
+  (the analog of `fix pair` / `compute pair`; values are stale between
+  evaluations, as documented there).
+* MLIP-3 style (reference README.md:84-97): grades every evaluation; if
+  max_grade >= select_threshold the configuration is appended to the
+  preselected ``.cfg`` stream; if >= break_threshold the stream is flushed and
+  the run is terminated (flush-before-break contract,
+  pair_mtp_extrapolation.cpp:387-397).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtp_tpu.al.grades import candidate_vectors, cfg_grade, nbh_grades
+from mtp_tpu.io.cfg_file import CfgWriter
+from mtp_tpu.md.simulation import Simulation
+from mtp_tpu.md.state import MDState
+from mtp_tpu.models.mtp import MTPModel
+from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+
+
+class BreakThresholdExceeded(RuntimeError):
+    """Raised when max grade exceeds the break threshold (run terminated)."""
+
+    def __init__(self, max_grade: float):
+        super().__init__(
+            f"Exceeded Break Threshold: {max_grade:.5f}. Terminating simulation."
+        )
+        self.max_grade = max_grade
+
+
+@dataclasses.dataclass(eq=False)
+class ExtrapolationMonitor:
+    """Evaluates grades for a configuration and applies selection semantics.
+
+    Observables (mirroring extract_peratom/pvector,
+    pair_mtp_extrapolation.cpp:624-652): `.max_grade` (scalar) and
+    `.nbh_grades` (per-atom array; neighborhood mode only). Stale between
+    evaluations by design.
+    """
+
+    model: MTPModel
+    select_threshold: Optional[float] = None
+    break_threshold: Optional[float] = None
+    output_path: Optional[str] = None
+    max_neighbors: int = 64
+
+    max_grade: float = 0.0
+    nbh_grades: Optional[np.ndarray] = None
+    _writer: Optional[CfgWriter] = None
+
+    def __post_init__(self):
+        if self.model.inverse_active_set is None:
+            raise ValueError(
+                "model has no MVS selection state; load a .mtp with an MVS "
+                "trailer or build one with mtp_tpu.al.maxvol.build_mvs"
+            )
+        if self.output_path is not None:
+            self._writer = CfgWriter(self.output_path)
+
+    @property
+    def mlip3_style(self) -> bool:
+        return self.select_threshold is not None
+
+    def evaluate(self, state: MDState) -> float:
+        """Compute grades for the current configuration; apply thresholds."""
+        model = self.model
+        cutoff = model.cutoff
+        grid = grid_shape(np.asarray(jax.device_get(state.cell)), cutoff)
+        nl = build_neighbor_list(
+            state.positions,
+            state.cell,
+            cutoff,
+            max_neighbors=self.max_neighbors,
+            grid=grid,
+        )
+        b, _ = candidate_vectors(
+            model.schedule,
+            model.coeffs,
+            state.positions,
+            state.types,
+            nl.idx,
+            state.cell,
+        )
+        if model.configuration_mode:
+            g = float(cfg_grade(b, model.inverse_active_set, state.n_atoms))
+            self.nbh_grades = None
+        else:
+            grades = nbh_grades(b, model.inverse_active_set)
+            self.nbh_grades = np.asarray(grades)
+            g = float(jnp.max(grades))
+        self.max_grade = g
+
+        if self.mlip3_style:
+            self._apply_thresholds(state)
+        return g
+
+    def _apply_thresholds(self, state: MDState):
+        if self._writer is not None and self.max_grade >= self.select_threshold:
+            self._writer.write(
+                np.asarray(state.cell),
+                np.asarray(state.positions),
+                np.asarray(state.types),
+                grades=None if self.model.configuration_mode else self.nbh_grades,
+                max_grade=self.max_grade,
+            )
+        if (
+            self.break_threshold is not None
+            and self.max_grade >= self.break_threshold
+        ):
+            # flush-before-break: no selected configuration may be lost
+            if self._writer is not None:
+                self._writer.close()
+            raise BreakThresholdExceeded(self.max_grade)
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+def run_with_extrapolation(
+    sim: Simulation,
+    monitor: ExtrapolationMonitor,
+    state: MDState,
+    n_steps: int,
+    *,
+    al_every: int = 1,
+    observer=None,
+    **run_kwargs,
+):
+    """MD with periodic grade evaluation (the `fix pair N ... extrapolation 1`
+    pattern, reference README.md:70-76).
+
+    Returns the final state; raises :class:`BreakThresholdExceeded` in MLIP-3
+    style when the break threshold is hit (stream flushed first).
+    """
+    done = 0
+    aux = None
+    monitor.evaluate(state)
+    while done < n_steps:
+        k = min(al_every, n_steps - done)
+        state, aux = sim.run(state, k, aux=aux, **run_kwargs)
+        done += k
+        monitor.evaluate(state)
+        if observer is not None:
+            observer(state, monitor)
+    return state

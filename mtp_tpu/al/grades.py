@@ -1,0 +1,107 @@
+"""MaxVol extrapolation grades (active learning), batched for the MXU.
+
+The reference computes, per atom, the candidate vector b_i = dE_i/dtheta over
+all model coefficients (radial block via a `radial_jacobian` accumulated in
+the forward pass, species one-hot, scalar-basis members; reference
+pair_mtp_extrapolation.cpp:193-252, 322-329) and then a per-atom team matvec
+against the inverse active set (pair_mtp_extrapolation_kokkos.cpp:1156-1166).
+
+TPU-native formulation:
+* gamma_i = dE_i/d(basic moments) comes from one `jax.vjp` through the
+  contraction DAG + readout (replacing the hand-written reverse pass).
+* The radial Jacobian is an einsum over the same Chebyshev values and
+  unit-vector powers the forward pass produces.
+* All atoms' candidate vectors form a matrix B (N, P); grades are
+  max|B @ invA^T| — one large MXU matmul instead of per-atom matvecs.
+
+Coefficient-vector layout (must match the MVS active-set files,
+pair_mtp_extrapolation.cpp:533): [radial (S,S,MU,RB) row-major | species (S) |
+scalar-basis (m_scal)].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mtp_tpu.models.mtp import gather_displacements
+from mtp_tpu.ops.moments import (
+    MTPSchedule,
+    basic_moments,
+    contract_dag,
+    readout,
+)
+
+
+@partial(jax.jit, static_argnames=("sched",))
+def candidate_vectors(sched: MTPSchedule, coeffs, positions, types, nbr_idx, cell=None):
+    """Per-atom candidate vectors B (N, P) = dE_i/dtheta.
+
+    Also returns site energies so an AL step does not need a second forward
+    pass.
+    """
+    n = positions.shape[0]
+    inv_cell = jnp.linalg.inv(cell) if cell is not None else None
+    disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
+    d2 = jnp.sum(disp * disp, axis=-1)
+    self_pair = nbr_idx == jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
+    mask = (d2 <= sched.max_dist**2) & (~self_pair)
+    itypes = types
+    jtypes = types[nbr_idx]
+
+    m_basic, aux = basic_moments(sched, coeffs, disp, mask, itypes, jtypes)
+    dtype = m_basic.dtype
+
+    def site_e_of(mb):
+        e, _ = readout(sched, coeffs, contract_dag(sched, mb), itypes)
+        return jnp.sum(e)
+
+    site_e, gamma = jax.value_and_grad(site_e_of)(m_basic)  # gamma (N, B)
+    _, basis_members = readout(sched, coeffs, contract_dag(sched, m_basic), itypes)
+
+    S = sched.species_count
+    MU = sched.radial_funcs_count
+    RB = sched.radial_basis_size
+    B = sched.basic_count
+
+    # radial jacobian contracted with gamma:
+    #   rad[n, s, mu, ri] = sum_k gamma[n,k] * sum_j [tj=s] cheb[n,j,ri] U[n,j,k]
+    # (reference pair_mtp_extrapolation.cpp:193-198 + 322-329, fused)
+    w = jnp.where(mask, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+    jt_onehot = jax.nn.one_hot(jtypes, S, dtype=dtype) * w[..., None]  # (N,J,S)
+    # group gamma*U by the basic row's radial index mu via a static one-hot
+    import numpy as np
+
+    mu_onehot = jnp.asarray(
+        np.eye(MU, dtype=np.float64)[sched.basic[:, 0]], dtype=dtype
+    )  # (B, MU)
+    gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)  # (N,J,MU)
+    rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])  # (N,S,MU,RB)
+
+    # scatter into the (itype, jtype) block: b_rad[n, ti, s, mu, ri]
+    it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype)  # (N,S)
+    b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(n, S * S * MU * RB)
+
+    b = jnp.concatenate([b_rad, it_onehot, basis_members], axis=1)  # (N, P)
+    return b, site_e
+
+
+@jax.jit
+def nbh_grades(b, inverse_active_set):
+    """Neighborhood-mode grades: gamma_i = max_l |(invA @ b_i)_l|.
+
+    One (N,P)x(P,P) MXU matmul for the whole configuration (the TPU-native
+    replacement for pair_mtp_extrapolation_kokkos.cpp:1108-1172)."""
+    g = jnp.abs(b @ inverse_active_set.astype(b.dtype).T)
+    return jnp.max(g, axis=-1)
+
+
+@jax.jit
+def cfg_grade(b, inverse_active_set, n_atoms):
+    """Configuration-mode grade: sum candidate vectors over atoms, one matvec,
+    normalize by atom count (pair_mtp_extrapolation.cpp:363-377)."""
+    bsum = jnp.sum(b, axis=0)
+    g = jnp.max(jnp.abs(inverse_active_set.astype(b.dtype) @ bsum))
+    return g / jnp.maximum(n_atoms, 1)

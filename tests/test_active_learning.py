@@ -1,0 +1,217 @@
+"""Active-learning tests: candidate-vector parity with the golden engine,
+grade modes, MaxVol builder, .cfg I/O, and the two-threshold MD driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtp_tpu.al.driver import (
+    BreakThresholdExceeded,
+    ExtrapolationMonitor,
+    run_with_extrapolation,
+)
+from mtp_tpu.al.grades import candidate_vectors, cfg_grade, nbh_grades
+from mtp_tpu.al.maxvol import build_mvs, maxvol_select
+from mtp_tpu.io.cfg_file import format_cfg, parse_cfgs, read_cfgs
+from mtp_tpu.io.mtp_file import MVSData, dumps_mtp, loads_mtp
+from mtp_tpu.md.simulation import Simulation, make_lattice
+from mtp_tpu.md.state import init_state, thermalize
+from mtp_tpu.models.mtp import MTPModel
+from mtp_tpu.ops.neighbors import build_neighbor_list_bruteforce
+from mtp_tpu.utils import golden
+
+from conftest import scatter_cluster
+
+
+def _nbrs(pos, cutoff, max_n=24, cell=None):
+    nl = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), None if cell is None else jnp.asarray(cell), cutoff,
+        max_neighbors=max_n,
+    )
+    assert not bool(nl.overflow)
+    return nl.idx
+
+
+@pytest.mark.parametrize("fixture", ["mtp_level8", "mtp_level8_2spec"])
+def test_candidate_vector_parity(fixture, rng, request):
+    m = request.getfixturevalue(fixture)
+    n = 10
+    pos = scatter_cluster(n, rng)
+    types = rng.integers(0, m.species_count, n)
+    g = golden.compute(m, pos, types, compute_grades=True)
+
+    model = MTPModel.from_data(m, dtype=jnp.float64)
+    b, site_e = candidate_vectors(
+        model.schedule,
+        model.coeffs,
+        jnp.asarray(pos),
+        jnp.asarray(types, jnp.int32),
+        _nbrs(pos, m.max_dist),
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), g["energy_ders_wrt_coeffs"], atol=1e-11
+    )
+    assert abs(float(site_e) - g["energy"]) < 1e-10
+
+
+def test_grades_parity(mtp_level8_2spec, rng):
+    m = mtp_level8_2spec
+    P = m.coeff_count
+    A = rng.normal(size=(P, P)) + np.eye(P)
+    m.mvs = MVSData(0, 0, 0, 1, 2.0, A, np.linalg.inv(A))
+    try:
+        n = 12
+        pos = scatter_cluster(n, rng)
+        types = rng.integers(0, 2, n)
+        g = golden.compute(m, pos, types, compute_grades=True)
+
+        model = MTPModel.from_data(m, dtype=jnp.float64)
+        b, _ = candidate_vectors(
+            model.schedule,
+            model.coeffs,
+            jnp.asarray(pos),
+            jnp.asarray(types, jnp.int32),
+            _nbrs(pos, m.max_dist),
+        )
+        grades = nbh_grades(b, model.inverse_active_set)
+        np.testing.assert_allclose(np.asarray(grades), g["nbh_grades"], rtol=1e-9)
+
+        # configuration-mode grade on the same data
+        gc = cfg_grade(b, model.inverse_active_set, n)
+        bsum = g["energy_ders_wrt_coeffs"].sum(axis=0)
+        expect = np.abs(np.linalg.inv(A) @ bsum).max() / n
+        np.testing.assert_allclose(float(gc), expect, rtol=1e-9)
+    finally:
+        m.mvs = None
+
+
+def test_maxvol_select(rng):
+    pool = rng.normal(size=(200, 12))
+    idx, A = maxvol_select(pool)
+    assert len(set(idx.tolist())) == 12
+    C = pool @ np.linalg.inv(A)
+    assert np.abs(C).max() <= 1.01 + 1e-9  # MaxVol dominance property
+
+
+def test_build_mvs_roundtrip(mtp_level8, rng):
+    m = mtp_level8
+    P = m.coeff_count
+    pool = rng.normal(size=(5 * P, P))
+    m.mvs = build_mvs(pool, mode="neighborhood")
+    try:
+        m2 = loads_mtp(dumps_mtp(m))
+        assert not m2.mvs.configuration_mode
+        np.testing.assert_allclose(m2.mvs.active_set, m.mvs.active_set)
+    finally:
+        m.mvs = None
+
+
+def test_cfg_roundtrip(rng):
+    cell = np.diag([10.0, 11.0, 12.0])
+    pos = rng.uniform(0, 10, (5, 3))
+    types = np.array([0, 1, 0, 1, 0])
+    grades = rng.uniform(0, 2, 5)
+    txt = format_cfg(cell, pos, types, grades=grades, max_grade=float(grades.max()))
+    txt += format_cfg(cell, pos, types, energy=-12.5)
+    cfgs = parse_cfgs(txt)
+    assert len(cfgs) == 2
+    np.testing.assert_allclose(cfgs[0].cell, cell)
+    np.testing.assert_allclose(cfgs[0].positions, pos, atol=1e-6)
+    np.testing.assert_array_equal(cfgs[0].types, types)
+    np.testing.assert_allclose(cfgs[0].grades, grades, atol=1e-5)
+    assert cfgs[0].features["MV_grade"] == pytest.approx(grades.max(), abs=1e-6)
+    assert cfgs[1].energy == pytest.approx(-12.5)
+    assert cfgs[1].grades is None
+
+
+def _al_system(m, rng, n_rep=2):
+    model = MTPModel.from_data(m, dtype=jnp.float64)
+    pos, types, cell = make_lattice("fcc", 4.0, (3, 3, 3))
+    masses = np.full(len(pos), 58.693)
+    state = init_state(pos, types, masses, cell, dtype=jnp.float64)
+    return model, thermalize(jax.random.PRNGKey(5), state, 300.0)
+
+
+def _with_realistic_mvs(m, rng, mode="neighborhood"):
+    """Build an MVS state from candidate vectors of perturbed lattices so
+    grades near the training manifold are ~1."""
+    model = MTPModel.from_data(m, dtype=jnp.float64)
+    pos, types, cell = make_lattice("fcc", 4.0, (2, 2, 2))
+    rows = []
+    for k in range(6):
+        p = pos + rng.normal(scale=0.05 * (k + 1), size=pos.shape)
+        b, _ = candidate_vectors(
+            model.schedule,
+            model.coeffs,
+            jnp.asarray(p),
+            jnp.asarray(types, jnp.int32),
+            _nbrs(p, m.max_dist, max_n=48, cell=cell),
+            jnp.asarray(cell),
+        )
+        rows.append(np.asarray(b))
+    pool = np.concatenate(rows, axis=0)
+    m.mvs = build_mvs(pool, mode=mode)
+    return m
+
+
+def test_monitor_requires_mvs(mtp_level8):
+    model = MTPModel.from_data(mtp_level8, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        ExtrapolationMonitor(model)
+
+
+def test_extrapolation_md_select_and_break(mtp_level8, rng, tmp_path):
+    m = _with_realistic_mvs(mtp_level8, rng)
+    try:
+        model = MTPModel.from_data(m, dtype=jnp.float64)
+        _, state = _al_system(m, rng)
+        sim = Simulation(model, max_neighbors=48, skin=0.6, steps_per_rebuild=5)
+        out = tmp_path / "preselected.cfg"
+        mon = ExtrapolationMonitor(
+            model,
+            select_threshold=0.0,  # select every evaluation
+            break_threshold=1e9,
+            output_path=str(out),
+            max_neighbors=48,
+        )
+        state = run_with_extrapolation(
+            sim, mon, state, 10, al_every=5, ensemble="nve", dt=0.001
+        )
+        assert mon.max_grade > 0
+        assert mon.nbh_grades is not None and len(mon.nbh_grades) == state.n_atoms
+        mon.close()
+        cfgs = read_cfgs(str(out))
+        assert len(cfgs) == 3  # initial + 2 evaluations
+        assert cfgs[0].grades is not None
+        assert "MV_grade" in cfgs[0].features
+
+        # break threshold: everything written before the raise must be on disk
+        mon2 = ExtrapolationMonitor(
+            model,
+            select_threshold=0.0,
+            break_threshold=0.0,  # break immediately
+            output_path=str(tmp_path / "break.cfg"),
+            max_neighbors=48,
+        )
+        with pytest.raises(BreakThresholdExceeded):
+            run_with_extrapolation(
+                sim, mon2, state, 10, al_every=5, ensemble="nve", dt=0.001
+            )
+        assert len(read_cfgs(str(tmp_path / "break.cfg"))) == 1  # flushed
+    finally:
+        m.mvs = None
+
+
+def test_configuration_mode_monitor(mtp_level8, rng, tmp_path):
+    m = _with_realistic_mvs(mtp_level8, rng, mode="configuration")
+    try:
+        model = MTPModel.from_data(m, dtype=jnp.float64)
+        assert model.configuration_mode
+        _, state = _al_system(m, rng)
+        mon = ExtrapolationMonitor(model, max_neighbors=48)
+        g = mon.evaluate(state)
+        assert np.isfinite(g) and g >= 0
+        assert mon.nbh_grades is None  # per-atom grades unavailable in cfg mode
+    finally:
+        m.mvs = None
