@@ -1,0 +1,66 @@
+"""Headline benchmark: atom-steps/s on one chip.
+
+Config: BASELINE.md north star — 32k-atom bulk fcc, level-16 MTP, NVE,
+fp32 on TPU. Prints ONE JSON line.
+
+`vs_baseline` is measured against a NOMINAL A100 `mtp/kk` figure of 2.0e6
+atom-steps/s (the reference publishes no tables — README.md:28 only says
+>=50k atoms are needed for peak A100 throughput; 2e6 is our good-faith
+estimate of that peak for a level-16 MTP. See BASELINE.md.)
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_NOMINAL_ATOM_STEPS_PER_S = 2.0e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.md.simulation import Simulation, make_lattice
+    from mtp_tpu.md.state import init_state, thermalize
+    from mtp_tpu.models.mtp import MTPModel
+
+    m = make_mtp(16, species_count=1, seed=0)
+    model = MTPModel.from_data(m, dtype=jnp.float32)
+
+    pos, types, cell = make_lattice("fcc", 4.0, (20, 20, 20))  # 32000 atoms
+    n = len(pos)
+    masses = np.full(n, 58.693)
+    state = init_state(pos, types, masses, cell, dtype=jnp.float32)
+    state = thermalize(jax.random.PRNGKey(0), state, 300.0)
+
+    sim = Simulation(model, max_neighbors=64, skin=0.5, steps_per_rebuild=20)
+
+    # warmup: compile + one block
+    state, aux = sim.run(state, 20, ensemble="nve", dt=0.001)
+    jax.block_until_ready(state.positions)
+
+    n_steps = 200
+    t0 = time.perf_counter()
+    state, aux = sim.run(state, n_steps, ensemble="nve", dt=0.001, aux=aux)
+    jax.block_until_ready(state.positions)
+    dt_s = time.perf_counter() - t0
+
+    atom_steps_per_s = n * n_steps / dt_s
+    print(
+        json.dumps(
+            {
+                "metric": "atom-steps/s/chip (32k-atom level-16 MTP, NVE, fp32)",
+                "value": round(atom_steps_per_s, 1),
+                "unit": "atom-steps/s",
+                "vs_baseline": round(
+                    atom_steps_per_s / A100_NOMINAL_ATOM_STEPS_PER_S, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

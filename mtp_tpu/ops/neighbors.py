@@ -57,7 +57,14 @@ def grid_shape(cell, cutoff: float) -> tuple:
 
 @partial(
     jax.jit,
-    static_argnames=("max_neighbors", "grid", "include_self_image"),
+    static_argnames=(
+        "max_neighbors",
+        "grid",
+        "include_self_image",
+        "centers",
+        "bin_capacity",
+        "row_block",
+    ),
 )
 def build_neighbor_list(
     positions,
@@ -67,6 +74,10 @@ def build_neighbor_list(
     max_neighbors: int,
     grid: tuple,
     include_self_image: bool = False,
+    centers: int | None = None,
+    real=None,
+    bin_capacity: int | None = None,
+    row_block: int | None = None,
 ):
     """Periodic cell-list neighbor build.
 
@@ -77,8 +88,12 @@ def build_neighbor_list(
       max_neighbors: static output width J.
       grid: static bin grid (from :func:`grid_shape`); each dim >= 1. When a
         dim is < 3 bins, all bins along it are candidates (correct, slower).
+      centers: build lists only for the first `centers` rows (halo-extended
+        sets: own atoms first, ghosts after). Default: all rows.
+      real: optional (N,) bool; False rows (slab padding) are excluded both as
+        centers and as neighbors.
 
-    Returns :class:`NeighborList`.
+    Returns :class:`NeighborList` with idx of shape (centers or N, J).
     """
     n = positions.shape[0]
     gx, gy, gz = grid
@@ -94,8 +109,9 @@ def build_neighbor_list(
     # sort atoms by bin; ranks within bin give a collision-free cell table
     order = jnp.argsort(bin_id)
     sorted_bin = bin_id[order]
-    # capacity: atoms per bin, padded
-    cap = max(1, int(np.ceil(4.0 * n / ncells)) + 8)
+    # capacity: atoms per bin, padded (uniform-density estimate; callers with
+    # concentrated occupancy — e.g. halo-extended slabs — pass bin_capacity)
+    cap = bin_capacity or max(1, int(np.ceil(4.0 * n / ncells)) + 8)
     counts = jnp.zeros((ncells,), jnp.int32).at[sorted_bin].add(1)
     cell_overflow = jnp.max(counts) > cap
     start = jnp.cumsum(counts) - counts
@@ -104,6 +120,8 @@ def build_neighbor_list(
     table = table.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(
         order.astype(jnp.int32)
     )
+
+    nc = n if centers is None else centers
 
     # candidate bins: 3x3x3 stencil around each atom's bin (with wrap).
     # When a dimension has <3 bins use all of them exactly once.
@@ -114,36 +132,69 @@ def build_neighbor_list(
         [(ox, oy, oz) for ox in offs(gx) for oy in offs(gy) for oz in offs(gz)],
         dtype=np.int32,
     )  # (K, 3)
-    nb3 = (bin3[:, None, :] + stencil[None, :, :]) % dims  # (N, K, 3)
-    nb_id = (nb3[..., 0] * gy + nb3[..., 1]) * gz + nb3[..., 2]  # (N, K)
-    cand = table[nb_id].reshape(n, -1)  # (N, K*cap)
-    cand_valid = cand >= 0
-    cand_safe = jnp.where(cand_valid, cand, 0)
 
-    # distance filter with minimum image
-    disp = positions[cand_safe] - positions[:, None, :]
-    f = disp @ inv_cell
-    f -= jnp.round(f)
-    disp = f @ cell
-    d2 = jnp.sum(disp * disp, axis=-1)
-    self_row = cand_safe == jnp.arange(n, dtype=jnp.int32)[:, None]
-    keep = cand_valid & (d2 <= cutoff * cutoff) & (~self_row)
-    if include_self_image:
-        # count self periodic images too (only correct for tiny cells;
-        # min-image regime excludes them)
-        keep = keep | (cand_valid & (d2 <= cutoff * cutoff) & self_row & (d2 > 1e-12))
+    def row_phase(args):
+        """Distance-filter + compact for a block of center rows.
 
-    # compact each row's kept candidates to the front (stable argsort of ~keep)
-    sort_key = jnp.where(keep, 0, 1).astype(jnp.int32)
-    take = jnp.argsort(sort_key, axis=1, stable=True)[:, :max_neighbors]
-    row_keep = jnp.take_along_axis(keep, take, axis=1)
-    row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
-    self_col = jnp.arange(n, dtype=jnp.int32)[:, None]
-    idx = jnp.where(row_keep, row_idx, self_col)
+        Memory scales with block * K*cap; the block loop (lax.map) bounds the
+        working set — the TPU analog of the reference's chunk loop
+        (pair_mtp_kokkos.cpp:287-361)."""
+        cbin3, cpos, crow = args
+        nb3 = (cbin3[:, None, :] + stencil[None, :, :]) % dims  # (b, K, 3)
+        nb_id = (nb3[..., 0] * gy + nb3[..., 1]) * gz + nb3[..., 2]
+        cand = table[nb_id].reshape(cbin3.shape[0], -1)  # (b, K*cap)
+        cand_valid = cand >= 0
+        cand_safe = jnp.where(cand_valid, cand, 0)
 
-    nbr_overflow = jnp.max(jnp.sum(keep, axis=1)) > max_neighbors
+        disp = positions[cand_safe] - cpos[:, None, :]
+        f = disp @ inv_cell
+        f -= jnp.round(f)
+        disp = f @ cell
+        d2 = jnp.sum(disp * disp, axis=-1)
+        self_row = cand_safe == crow[:, None]
+        keep = cand_valid & (d2 <= cutoff * cutoff) & (~self_row)
+        if include_self_image:
+            # count self periodic images too (only correct for tiny cells;
+            # min-image regime excludes them)
+            keep = keep | (
+                cand_valid & (d2 <= cutoff * cutoff) & self_row & (d2 > 1e-12)
+            )
+        if real is not None:
+            keep = keep & real[cand_safe] & real[crow][:, None]
+
+        # compact kept candidates to the front (stable argsort of ~keep)
+        sort_key = jnp.where(keep, 0, 1).astype(jnp.int32)
+        take = jnp.argsort(sort_key, axis=1, stable=True)[:, :max_neighbors]
+        row_keep = jnp.take_along_axis(keep, take, axis=1)
+        row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
+        idx = jnp.where(row_keep, row_idx, crow[:, None])
+        return idx.astype(jnp.int32), jnp.max(jnp.sum(keep, axis=1))
+
+    crow_all = jnp.arange(nc, dtype=jnp.int32)
+    if row_block is None and nc > 16384:
+        row_block = 8192  # bound the candidate working set on large systems
+    if row_block is None or row_block >= nc:
+        idx, max_cnt = row_phase((bin3[:nc], positions[:nc], crow_all))
+    else:
+        nb = -(-nc // row_block)
+        pad = nb * row_block - nc
+        pbin3 = jnp.pad(bin3[:nc], ((0, pad), (0, 0)))
+        ppos = jnp.pad(positions[:nc], ((0, pad), (0, 0)))
+        prow = jnp.pad(crow_all, (0, pad))  # pad rows alias row 0; sliced off
+        idx_b, cnt_b = jax.lax.map(
+            row_phase,
+            (
+                pbin3.reshape(nb, row_block, 3),
+                ppos.reshape(nb, row_block, 3),
+                prow.reshape(nb, row_block),
+            ),
+        )
+        idx = idx_b.reshape(nb * row_block, max_neighbors)[:nc]
+        max_cnt = jnp.max(cnt_b)
+
+    nbr_overflow = max_cnt > max_neighbors
     return NeighborList(
-        idx=idx.astype(jnp.int32),
+        idx=idx,
         overflow=cell_overflow | nbr_overflow,
         reference_positions=positions,
     )
