@@ -41,6 +41,7 @@ class Simulation:
     skin: float = 0.5
     steps_per_rebuild: int = 10
     remat: bool = True
+    backend: str = "auto"  # "pallas" on TPU, "xla" elsewhere
 
     def force_fn(self, nbr_idx):
         sched = self.model.schedule
@@ -48,7 +49,14 @@ class Simulation:
 
         def fn(positions, types, cell):
             out = mtp_energy_forces(
-                sched, coeffs, positions, types, nbr_idx, cell, remat=self.remat
+                sched,
+                coeffs,
+                positions,
+                types,
+                nbr_idx,
+                cell,
+                remat=self.remat,
+                backend=self.backend,
             )
             return out["forces"], out["energy"], out["virial"]
 

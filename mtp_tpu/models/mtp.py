@@ -112,7 +112,9 @@ def gather_displacements(positions, nbr_idx, cell=None, inv_cell=None):
     return disp
 
 
-@partial(jax.jit, static_argnames=("sched", "remat", "compute_vatom"))
+@partial(
+    jax.jit, static_argnames=("sched", "remat", "compute_vatom", "backend")
+)
 def mtp_energy_forces(
     sched: MTPSchedule,
     coeffs: MTPCoeffs,
@@ -123,6 +125,7 @@ def mtp_energy_forces(
     *,
     remat: bool = True,
     compute_vatom: bool = False,
+    backend: str = "auto",
 ):
     """Energy, forces, virial for one configuration.
 
@@ -132,6 +135,8 @@ def mtp_energy_forces(
       nbr_idx: (N, J) int32 padded neighbor indices; padding entries must
         equal the row's own atom index (self-pairs are masked out).
       cell: optional (3, 3) row-vector cell for periodic boundaries.
+      backend: "pallas" (fused TPU kernels; interpreted on CPU), "xla", or
+        "auto" (pallas on TPU, xla elsewhere).
 
     Returns dict: energy (scalar), site_energies (N,), forces (N,3),
     virial (6,) in Voigt order (xx,yy,zz,xy,xz,yz), and optionally
@@ -147,12 +152,22 @@ def mtp_energy_forces(
     itypes = types
     jtypes = types[nbr_idx]
 
-    fn = site_energies
-    if remat:
-        fn = jax.checkpoint(fn, static_argnums=(0,))
-    site_e, vjp = jax.vjp(lambda d: fn(sched, coeffs, d, mask, itypes, jtypes), disp)
-    (pair_t,) = vjp(jnp.ones_like(site_e))
-    pair_t = pair_t * mask[..., None].astype(pair_t.dtype)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "pallas":
+        site_e, pair_t = _pallas_site_energy_vjp(
+            sched, coeffs, disp, mask, itypes, jtypes
+        )
+    else:
+        fn = site_energies
+        if remat:
+            fn = jax.checkpoint(fn, static_argnums=(0,))
+        site_e, vjp = jax.vjp(
+            lambda d: fn(sched, coeffs, d, mask, itypes, jtypes), disp
+        )
+        (pair_t,) = vjp(jnp.ones_like(site_e))
+        pair_t = pair_t * mask[..., None].astype(pair_t.dtype)
 
     # Newton's-third-law scatter (pair_mtp.cpp:248-254): +T to the center,
     # -T to each neighbor.
@@ -179,6 +194,40 @@ def mtp_energy_forces(
     if compute_vatom:
         out["vatom"] = vatom
     return out
+
+
+def _pallas_site_energy_vjp(sched, coeffs, disp, mask, itypes, jtypes):
+    """Site energies + per-pair forces through the fused Pallas kernels.
+
+    Repacks (N, J, ...) pair data to the kernels' lane-major layout
+    ((3, J, N) / (J, N), N padded to 128, J to 8), runs the custom-vjp fused
+    op, and unpacks pair_T back to (N, J, 3).
+    """
+    from mtp_tpu.ops.pallas_moments import TILE_N, site_energies_fused
+
+    n, j = mask.shape
+    n_pad = (-n) % TILE_N
+    j_pad = (-j) % 8
+    dtype = disp.dtype
+
+    dispT = jnp.moveaxis(disp, (0, 1, 2), (2, 1, 0))  # (3, J, N)
+    maskf = mask.astype(dtype).T  # (J, N)
+    it_row = itypes[None, :].astype(jnp.int32)
+    jt_t = jtypes.T.astype(jnp.int32)
+    if n_pad or j_pad:
+        dispT = jnp.pad(dispT, ((0, 0), (0, j_pad), (0, n_pad)))
+        maskf = jnp.pad(maskf, ((0, j_pad), (0, n_pad)))
+        it_row = jnp.pad(it_row, ((0, 0), (0, n_pad)))
+        jt_t = jnp.pad(jt_t, ((0, j_pad), (0, n_pad)))
+
+    site_e, vjp = jax.vjp(
+        lambda d: site_energies_fused(sched, coeffs, d, maskf, it_row, jt_t),
+        dispT,
+    )
+    (pair_tT,) = vjp(jnp.ones_like(site_e))
+    site_e = site_e[:n]
+    pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))[:n, :j, :]
+    return site_e, pair_t
 
 
 def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):

@@ -1,0 +1,303 @@
+"""Fused Pallas TPU kernels for the MTP per-pair stage.
+
+This is the TPU-native replacement for the reference's hot kernels
+``ComputeAlphaBasic`` (pair_mtp_kokkos.cpp:413-546, ~80% of GPU time) and
+``ComputeForce`` (pair_mtp_kokkos.cpp:594-660). One forward kernel produces
+basic moments; one backward kernel consumes dE/d(basic moments) and emits
+per-pair force vectors. Everything per-pair (distances, Chebyshev recurrence,
+radial functions, unit-vector power tables, the B-term static unroll) lives in
+VMEM — no (N, J, B) intermediates ever touch HBM, which is what makes the XLA
+path bandwidth-bound.
+
+Layout: a grid step processes TILE_N = 128 atoms (lanes) x J neighbors
+(sublanes); per-pair arrays are (J, 128). Moments are kept feature-major
+(B, N) so the contraction DAG downstream is all row slices.
+
+Math (same function as pair_mtp.cpp:154-192, reformulated in unit vectors):
+    val_k = f_mu(d) * ux^ax uy^ay uz^az,   u = r/d, rank = ax+ay+az
+    dval_k/dr_a = (f' - rank f / d) u_a U_k + (f/d) alpha_a * u^(alpha - e_a)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 128
+
+
+def _cheb_vals(d, lo, hi, scaling, size):
+    ksi = (2.0 * d - (lo + hi)) / (hi - lo)
+    env = scaling * (d - hi) ** 2
+    vals = [env, ksi * env]
+    for _ in range(2, size):
+        vals.append(2.0 * ksi * vals[-1] - vals[-2])
+    return vals
+
+
+def _cheb_vals_ders(d, lo, hi, scaling, size):
+    """Values and analytic derivatives (mtp_rb_chevbyshev_basis.cpp:40-54)."""
+    ksi = (2.0 * d - (lo + hi)) / (hi - lo)
+    mult = 2.0 / (hi - lo)
+    env = scaling * (d - hi) ** 2
+    vals = [env, ksi * env]
+    ders = [
+        scaling * 2.0 * (d - hi),
+        scaling * (mult * (d - hi) ** 2 + 2.0 * ksi * (d - hi)),
+    ]
+    for i in range(2, size):
+        vals.append(2.0 * ksi * vals[-1] - vals[-2])
+        ders.append(2.0 * (mult * vals[i - 1] + ksi * ders[i - 1]) - ders[i - 2])
+    return vals, ders
+
+
+def _pair_radials(cheb, coeff_ref, it_row, jt, S, MU):
+    """f_mu per pair for every (mu): select the (itype,jtype) coefficient row.
+
+    cheb: list of RB (J,TN) arrays; coeff_ref: (S,S,MU,RB) VMEM table;
+    it_row: (1,TN) itype; jt: (J,TN) jtype. Static loops over S,S,MU,RB.
+    """
+    RB = len(cheb)
+    f = []
+    for mu in range(MU):
+        acc = None
+        for s1 in range(S):
+            for s2 in range(S):
+                g = None
+                for r in range(RB):
+                    term = coeff_ref[s1, s2, mu, r] * cheb[r]
+                    g = term if g is None else g + term
+                if S > 1:
+                    sel = jnp.where(
+                        (it_row == s1) & (jt == s2), 1.0, 0.0
+                    ).astype(g.dtype)
+                    g = g * sel
+                acc = g if acc is None else acc + g
+        f.append(acc)
+    return f
+
+
+def _power_tables(ux, uy, uz, max_rank):
+    PX, PY, PZ = [jnp.ones_like(ux)], [jnp.ones_like(uy)], [jnp.ones_like(uz)]
+    for _ in range(max_rank):
+        PX.append(PX[-1] * ux)
+        PY.append(PY[-1] * uy)
+        PZ.append(PZ[-1] * uz)
+    return PX, PY, PZ
+
+
+def _geometry(dispT_ref, mask_ref):
+    x = dispT_ref[0]
+    y = dispT_ref[1]
+    z = dispT_ref[2]
+    w = mask_ref[:].astype(x.dtype)
+    d2 = x * x + y * y + z * z
+    d2 = jnp.where(w > 0, d2, 1.0)
+    d = jnp.sqrt(d2)
+    inv_d = 1.0 / d
+    return x, y, z, w, d, inv_d
+
+
+def _fwd_kernel(
+    dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, out_ref, *, sched_tables
+):
+    basic, S, MU, RB, lo, hi, scaling, max_rank, B_pad = sched_tables
+    x, y, z, w, d, inv_d = _geometry(dispT_ref, mask_ref)
+    ux, uy, uz = x * inv_d, y * inv_d, z * inv_d
+
+    cheb = _cheb_vals(d, lo, hi, scaling, RB)
+    it_row = it_ref[0][None, :]  # (1, TN)
+    jt = jt_ref[:]
+    f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
+    PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+
+    rows = []
+    for mu, ax, ay, az in basic:
+        U = PX[ax] * PY[ay] * PZ[az]
+        rows.append(jnp.sum(f[mu] * U * w, axis=0))  # (TN,)
+    for _ in range(B_pad - len(basic)):
+        rows.append(jnp.zeros_like(rows[0]))
+    out_ref[:] = jnp.stack(rows, axis=0)
+
+
+def _bwd_kernel(
+    dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, gamma_ref, out_ref, *, sched_tables
+):
+    basic, S, MU, RB, lo, hi, scaling, max_rank, B_pad = sched_tables
+    x, y, z, w, d, inv_d = _geometry(dispT_ref, mask_ref)
+    ux, uy, uz = x * inv_d, y * inv_d, z * inv_d
+
+    cheb, cheb_d = _cheb_vals_ders(d, lo, hi, scaling, RB)
+    it_row = it_ref[0][None, :]
+    jt = jt_ref[:]
+    f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
+    fp = _pair_radials(cheb_d, coeff_ref, it_row, jt, S, MU)
+    PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+
+    Tx = jnp.zeros_like(x)
+    Ty = jnp.zeros_like(x)
+    Tz = jnp.zeros_like(x)
+    for k, (mu, ax, ay, az) in enumerate(basic):
+        g = gamma_ref[k][None, :]  # (1, TN) -> broadcast over J
+        rank = ax + ay + az
+        U = PX[ax] * PY[ay] * PZ[az]
+        # radial part: (f' - rank f/d) * U * u_a
+        c1 = g * (fp[mu] - rank * f[mu] * inv_d) * U
+        Tx = Tx + c1 * ux
+        Ty = Ty + c1 * uy
+        Tz = Tz + c1 * uz
+        # angular part: (f/d) * alpha_a * u^(alpha - e_a)
+        c2 = g * f[mu] * inv_d
+        if ax > 0:
+            Tx = Tx + c2 * ax * PX[ax - 1] * PY[ay] * PZ[az]
+        if ay > 0:
+            Ty = Ty + c2 * ay * PX[ax] * PY[ay - 1] * PZ[az]
+        if az > 0:
+            Tz = Tz + c2 * az * PX[ax] * PY[ay] * PZ[az - 1]
+    out_ref[0] = Tx * w
+    out_ref[1] = Ty * w
+    out_ref[2] = Tz * w
+
+
+def _pad_axis(a, mult, axis):
+    n = a.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _prep(sched):
+    basic = tuple(map(tuple, sched.basic.tolist()))
+    B = len(basic)
+    B_pad = -(-B // 8) * 8
+    return (
+        basic,
+        sched.species_count,
+        sched.radial_funcs_count,
+        sched.radial_basis_size,
+        sched.min_dist,
+        sched.max_dist,
+        sched.scaling,
+        sched.max_rank,
+        B_pad,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def basic_moments_fused(sched, dispT, mask, itypes, jtypes_t, radial_coeffs):
+    """Basic moments, feature-major: (B, N).
+
+    Args:
+      dispT: (3, J, N) displacement components (J padded to x8, N to x128).
+      mask: (J, N) float 0/1.
+      itypes: (1, N) int32; jtypes_t: (J, N) int32.
+      radial_coeffs: (S, S, MU, RB).
+    """
+    return _fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs)
+
+
+def _interpret() -> bool:
+    # CPU tests run the kernels in interpreter mode
+    return jax.default_backend() != "tpu"
+
+
+def _fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs):
+    tables = _prep(sched)
+    B_pad = tables[-1]
+    J, N = mask.shape
+    grid = (N // TILE_N,)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, sched_tables=tables),
+        out_shape=jax.ShapeDtypeStruct((B_pad, N), dispT.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coeff table, replicated
+        ],
+        out_specs=pl.BlockSpec(
+            (B_pad, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(dispT, mask, itypes, jtypes_t, radial_coeffs)
+    return out[: sched.basic_count]
+
+
+def _fused_fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs):
+    out = _fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs)
+    return out, (dispT, mask, itypes, jtypes_t, radial_coeffs)
+
+
+def _fused_bwd(sched, res, gamma):
+    dispT, mask, itypes, jtypes_t, radial_coeffs = res
+    tables = _prep(sched)
+    B_pad = tables[-1]
+    J, N = mask.shape
+    gamma_pad = _pad_axis(gamma, 8, 0)
+    if gamma_pad.shape[0] != B_pad:
+        gamma_pad = jnp.pad(gamma_pad, ((0, B_pad - gamma_pad.shape[0]), (0, 0)))
+    grid = (N // TILE_N,)
+    pair_t = pl.pallas_call(
+        functools.partial(_bwd_kernel, sched_tables=tables),
+        out_shape=jax.ShapeDtypeStruct((3, J, N), dispT.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_pad, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(dispT, mask, itypes, jtypes_t, radial_coeffs, gamma_pad)
+    # cotangents: only disp is differentiated on the MD path
+    return (pair_t, None, None, None, None)
+
+
+basic_moments_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ----------------------------------------------------------------------
+# feature-major DAG + readout (XLA; row slices on the leading axis)
+# ----------------------------------------------------------------------
+
+
+def contract_dag_t(sched, m_basic_t):
+    """Moments (M, N) from basic moments (B, N), wave by wave."""
+    N = m_basic_t.shape[1]
+    M = sched.alpha_moments_count
+    m = jnp.zeros((M, N), dtype=m_basic_t.dtype)
+    m = m.at[: sched.basic_count].set(m_basic_t)
+    for wave in sched.waves():
+        a0, a1, mult, a3 = (wave[:, k] for k in range(4))
+        contrib = m[a0] * m[a1] * jnp.asarray(mult, m.dtype)[:, None]
+        m = m.at[a3].add(contrib)
+    return m
+
+
+def site_energies_fused(sched, coeffs, dispT, mask, itypes_row, jtypes_t):
+    """Per-atom energies via the fused kernel path. Shapes as in
+    :func:`basic_moments_fused`; returns (N,)."""
+    dtype = dispT.dtype
+    mb = basic_moments_fused(
+        sched, dispT, mask, itypes_row, jtypes_t, coeffs.radial_coeffs.astype(dtype)
+    )
+    m = contract_dag_t(sched, mb)
+    basis_members = m[sched.mapping]  # (n_scalar, N)
+    e = coeffs.moment_coeffs.astype(dtype) @ basis_members
+    return e + coeffs.species_coeffs.astype(dtype)[itypes_row[0]]
