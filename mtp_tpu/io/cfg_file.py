@@ -59,13 +59,18 @@ def format_cfg(
     if grades is not None:
         cols += "       nbh_grades"
     out.append(f"AtomData:  {cols}")
-    for i in range(n):
-        row = f"{i + 1}\t{int(types[i])}\t{positions[i, 0]:.6f}\t{positions[i, 1]:.6f}\t{positions[i, 2]:.6f}"
-        if forces is not None:
+    if forces is None:
+        # fast path: native row formatter (million-atom selection streams)
+        from mtp_tpu.utils.native import format_cfg_atoms
+
+        out.append(format_cfg_atoms(positions, types, grades).rstrip("\n"))
+    else:
+        for i in range(n):
+            row = f"{i + 1}\t{int(types[i])}\t{positions[i, 0]:.6f}\t{positions[i, 1]:.6f}\t{positions[i, 2]:.6f}"
             row += f"\t{forces[i, 0]:.6f}\t{forces[i, 1]:.6f}\t{forces[i, 2]:.6f}"
-        if grades is not None:
-            row += f"\t{float(grades[i]):.5f}"
-        out.append(row)
+            if grades is not None:
+                row += f"\t{float(grades[i]):.5f}"
+            out.append(row)
     if energy is not None:
         out.append("Energy")
         out.append(f"{energy:.12f}")
