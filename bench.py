@@ -35,17 +35,36 @@ def main():
     state = init_state(pos, types, masses, cell, dtype=jnp.float32)
     state = thermalize(jax.random.PRNGKey(0), state, 300.0)
 
-    sim = Simulation(model, max_neighbors=64, skin=0.5, steps_per_rebuild=20)
+    from mtp_tpu.ops.neighbors import grid_shape
 
-    # warmup: compile + one block
-    state, aux = sim.run(state, 20, ensemble="nve", dt=0.001)
-    jax.block_until_ready(state.positions)
+    sim = Simulation(model, max_neighbors=64, skin=0.5, steps_per_rebuild=20)
+    grid = grid_shape(cell, model.cutoff + 0.5)
+
+    def run(state, n_blocks):
+        state, aux, overflow = sim.run_fused(
+            state,
+            0,
+            grid=grid,
+            max_neighbors=64,
+            n_blocks=n_blocks,
+            steps_per_block=20,
+            ensemble="nve",
+            dt=0.001,
+        )
+        return state, overflow
+
+    # warmup: compile + one block; force full materialization (remote
+    # platforms may return from block_until_ready before execution completes)
+    state, overflow = run(state, 1)
+    assert not bool(overflow), "neighbor overflow"
+    float(jnp.sum(state.positions))
 
     n_steps = 200
     t0 = time.perf_counter()
-    state, aux = sim.run(state, n_steps, ensemble="nve", dt=0.001, aux=aux)
-    jax.block_until_ready(state.positions)
+    state, overflow = run(state, n_steps // 20)
+    float(jnp.sum(state.positions))  # hard sync
     dt_s = time.perf_counter() - t0
+    assert not bool(overflow)
 
     atom_steps_per_s = n * n_steps / dt_s
     print(

@@ -116,6 +116,67 @@ class Simulation:
         (state, aux), _ = jax.lax.scan(one, (state, aux), None, length=n_steps)
         return state, aux, nl.overflow
 
+    # ---- fully on-device run: scan over blocks, no host sync ----
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "self",
+            "ensemble",
+            "n_blocks",
+            "steps_per_block",
+            "grid",
+            "max_neighbors",
+        ),
+    )
+    def run_fused(
+        self,
+        state: MDState,
+        aux,
+        *,
+        grid: tuple,
+        max_neighbors: int,
+        n_blocks: int,
+        steps_per_block: int,
+        ensemble: str = "nve",
+        dt: float = 0.001,
+        temperature: float = 300.0,
+        pressure: float = 0.0,
+        tdamp: float = 0.1,
+        pdamp: float = 1.0,
+    ):
+        """`n_blocks` x (neighbor rebuild + steps_per_block steps) as ONE
+        compiled program. Overflow flags are OR-reduced and returned at the
+        end (caller re-runs with more capacity if set). Constant-volume
+        ensembles only (the bin grid is static)."""
+        if ensemble == "npt":
+            raise ValueError("run_fused supports constant-cell ensembles only")
+
+        def one_block(carry, _):
+            state, aux, ovf = carry
+            state, aux, o = self.block(
+                state,
+                aux,
+                grid=grid,
+                max_neighbors=max_neighbors,
+                ensemble=ensemble,
+                n_steps=steps_per_block,
+                dt=dt,
+                temperature=temperature,
+                pressure=pressure,
+                tdamp=tdamp,
+                pdamp=pdamp,
+            )
+            return (state, aux, ovf | o), None
+
+        (state, aux, overflow), _ = jax.lax.scan(
+            one_block,
+            (state, aux, jnp.zeros((), bool)),
+            None,
+            length=n_blocks,
+        )
+        return state, aux, overflow
+
     # ---- host loop with overflow handling ----
 
     def run(

@@ -204,9 +204,12 @@ def readout(sched: MTPSchedule, coeffs, moments, itypes):
 
 def site_energies(sched: MTPSchedule, coeffs, disp, mask, itypes, jtypes, dtype=None):
     """Per-atom MTP energies as a pure function of displacements."""
-    m_basic, _ = basic_moments(sched, coeffs, disp, mask, itypes, jtypes, dtype)
-    moments = contract_dag(sched, m_basic)
-    e, _ = readout(sched, coeffs, moments, itypes)
+    with jax.named_scope("mtp_basic_moments"):
+        m_basic, _ = basic_moments(sched, coeffs, disp, mask, itypes, jtypes, dtype)
+    with jax.named_scope("mtp_contract_dag"):
+        moments = contract_dag(sched, m_basic)
+    with jax.named_scope("mtp_readout"):
+        e, _ = readout(sched, coeffs, moments, itypes)
     return e
 
 
