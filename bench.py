@@ -19,6 +19,10 @@ A100_NOMINAL_ATOM_STEPS_PER_S = 2.0e6
 
 def main():
     import jax
+
+    # persistent compile cache: driver re-runs skip the (slow) remote compile
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mtp_tpu.io.basis_gen import make_mtp
@@ -40,7 +44,10 @@ def main():
     sim = Simulation(model, max_neighbors=64, skin=0.5, steps_per_rebuild=20)
     grid = grid_shape(cell, model.cutoff + 0.5)
 
-    def run(state, n_blocks):
+    n_steps = 200
+    n_blocks = n_steps // 20
+
+    def run(state):
         state, aux, overflow = sim.run_fused(
             state,
             0,
@@ -53,15 +60,15 @@ def main():
         )
         return state, overflow
 
-    # warmup: compile + one block; force full materialization (remote
-    # platforms may return from block_until_ready before execution completes)
-    state, overflow = run(state, 1)
-    assert not bool(overflow), "neighbor overflow"
+    # warmup with the SAME shape as the timed run (one compile), and force
+    # full materialization (remote platforms can return from
+    # block_until_ready before execution completes)
+    state, overflow = run(state)
     float(jnp.sum(state.positions))
+    assert not bool(overflow), "neighbor overflow"
 
-    n_steps = 200
     t0 = time.perf_counter()
-    state, overflow = run(state, n_steps // 20)
+    state, overflow = run(state)
     float(jnp.sum(state.positions))  # hard sync
     dt_s = time.perf_counter() - t0
     assert not bool(overflow)

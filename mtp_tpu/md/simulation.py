@@ -43,7 +43,7 @@ class Simulation:
     remat: bool = True
     backend: str = "auto"  # "pallas" on TPU, "xla" elsewhere
 
-    def force_fn(self, nbr_idx):
+    def force_fn(self, nbr_idx, nbr_rev=None):
         sched = self.model.schedule
         coeffs = self.model.coeffs
 
@@ -55,6 +55,7 @@ class Simulation:
                 types,
                 nbr_idx,
                 cell,
+                nbr_rev,
                 remat=self.remat,
                 backend=self.backend,
             )
@@ -90,8 +91,9 @@ class Simulation:
             cutoff,
             max_neighbors=max_neighbors,
             grid=grid,
+            with_reverse=True,
         )
-        force_fn = self.force_fn(nl.idx)
+        force_fn = self.force_fn(nl.idx, nl.rev)
         # refresh forces for the new list (first block / post-rebuild)
         state = itg._with_forces(state, force_fn)
 

@@ -122,6 +122,7 @@ def mtp_energy_forces(
     types,
     nbr_idx,
     cell=None,
+    nbr_rev=None,
     *,
     remat: bool = True,
     compute_vatom: bool = False,
@@ -169,10 +170,19 @@ def mtp_energy_forces(
         (pair_t,) = vjp(jnp.ones_like(site_e))
         pair_t = pair_t * mask[..., None].astype(pair_t.dtype)
 
-    # Newton's-third-law scatter (pair_mtp.cpp:248-254): +T to the center,
-    # -T to each neighbor.
-    forces = jnp.sum(pair_t, axis=1)
-    forces = forces.at[nbr_idx.reshape(-1)].add(-pair_t.reshape(-1, 3))
+    # Newton's third law (pair_mtp.cpp:248-254): +T to the center, -T to each
+    # neighbor. With the reverse-slot table the give-back is a GATHER of the
+    # mirrored pair's T (full lists are symmetric) — scatters serialize on
+    # TPU, gathers don't.
+    if nbr_rev is not None:
+        j = nbr_idx.shape[1]
+        flat = pair_t.reshape(-1, 3)
+        t_ji = flat[(nbr_idx * j + nbr_rev).reshape(-1)].reshape(pair_t.shape)
+        t_ji = t_ji * mask[..., None].astype(pair_t.dtype)
+        forces = jnp.sum(pair_t - t_ji, axis=1)
+    else:
+        forces = jnp.sum(pair_t, axis=1)
+        forces = forces.at[nbr_idx.reshape(-1)].add(-pair_t.reshape(-1, 3))
 
     # virial tally (pair_mtp.cpp:257-266): W -= sym(T (x) r)
     r = jnp.where(mask[..., None], disp, 0.0)

@@ -32,6 +32,38 @@ class NeighborList:
     idx: jax.Array  # (N, max_neighbors) int32, padded with self-index
     overflow: jax.Array  # () bool — capacity exceeded somewhere
     reference_positions: jax.Array  # positions at build time (for skin check)
+    # (N, max_neighbors) reverse slots: rev[i,jj] = position of i in the list
+    # of idx[i,jj]. Lets Newton force give-back be a gather instead of a
+    # scatter (scatters serialize on TPU). Optional; None unless requested.
+    rev: jax.Array | None = None
+
+
+def reverse_slots(idx, *, row_block: int = 2048):
+    """rev[i, jj] = slot s with idx[idx[i, jj], s] == i.
+
+    Full neighbor lists are symmetric, so every real pair is found; padded
+    slots resolve to an arbitrary slot and must be masked by the caller.
+    """
+    n, j = idx.shape
+
+    def phase(args):
+        rows, idx_c = args
+        lists = idx[idx_c]  # (b, J, J)
+        eq = lists == rows[:, None, None]
+        return jnp.argmax(eq, axis=-1).astype(jnp.int32)
+
+    rows_all = jnp.arange(n, dtype=jnp.int32)
+    if n <= row_block:
+        return phase((rows_all, idx))
+    nb = -(-n // row_block)
+    pad = nb * row_block - n
+    rows_p = jnp.pad(rows_all, (0, pad))
+    idx_p = jnp.pad(idx, ((0, pad), (0, 0)))
+    out = jax.lax.map(
+        phase,
+        (rows_p.reshape(nb, row_block), idx_p.reshape(nb, row_block, j)),
+    )
+    return out.reshape(nb * row_block, j)[:n]
 
 
 def perpendicular_widths(cell: np.ndarray) -> np.ndarray:
@@ -64,6 +96,7 @@ def grid_shape(cell, cutoff: float) -> tuple:
         "centers",
         "bin_capacity",
         "row_block",
+        "with_reverse",
     ),
 )
 def build_neighbor_list(
@@ -78,6 +111,7 @@ def build_neighbor_list(
     real=None,
     bin_capacity: int | None = None,
     row_block: int | None = None,
+    with_reverse: bool = False,
 ):
     """Periodic cell-list neighbor build.
 
@@ -110,8 +144,9 @@ def build_neighbor_list(
     order = jnp.argsort(bin_id)
     sorted_bin = bin_id[order]
     # capacity: atoms per bin, padded (uniform-density estimate; callers with
-    # concentrated occupancy — e.g. halo-extended slabs — pass bin_capacity)
-    cap = bin_capacity or max(1, int(np.ceil(4.0 * n / ncells)) + 8)
+    # concentrated occupancy — e.g. halo-extended slabs — pass bin_capacity).
+    # Overflow is flagged, so a tight estimate is safe.
+    cap = bin_capacity or max(1, int(np.ceil(2.0 * n / ncells)) + 8)
     counts = jnp.zeros((ncells,), jnp.int32).at[sorted_bin].add(1)
     cell_overflow = jnp.max(counts) > cap
     start = jnp.cumsum(counts) - counts
@@ -120,6 +155,11 @@ def build_neighbor_list(
     table = table.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(
         order.astype(jnp.int32)
     )
+    # positions arranged in bin-table layout: candidate coordinates are then
+    # fetched as whole bins (chunky row gathers) instead of 27*cap scattered
+    # element gathers per atom — the difference between ~1 and ~100 ms/build
+    ptab = jnp.zeros((ncells, cap, 3), positions.dtype)
+    ptab = ptab.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(positions[order])
 
     nc = n if centers is None else centers
 
@@ -140,13 +180,15 @@ def build_neighbor_list(
         working set — the TPU analog of the reference's chunk loop
         (pair_mtp_kokkos.cpp:287-361)."""
         cbin3, cpos, crow = args
+        b = cbin3.shape[0]
         nb3 = (cbin3[:, None, :] + stencil[None, :, :]) % dims  # (b, K, 3)
         nb_id = (nb3[..., 0] * gy + nb3[..., 1]) * gz + nb3[..., 2]
-        cand = table[nb_id].reshape(cbin3.shape[0], -1)  # (b, K*cap)
+        cand = table[nb_id].reshape(b, -1)  # (b, K*cap)
         cand_valid = cand >= 0
         cand_safe = jnp.where(cand_valid, cand, 0)
 
-        disp = positions[cand_safe] - cpos[:, None, :]
+        cand_pos = ptab[nb_id].reshape(b, -1, 3)  # (b, K*cap, 3) chunky gather
+        disp = cand_pos - cpos[:, None, :]
         f = disp @ inv_cell
         f -= jnp.round(f)
         disp = f @ cell
@@ -162,10 +204,15 @@ def build_neighbor_list(
         if real is not None:
             keep = keep & real[cand_safe] & real[crow][:, None]
 
-        # compact kept candidates to the front (stable argsort of ~keep)
-        sort_key = jnp.where(keep, 0, 1).astype(jnp.int32)
-        take = jnp.argsort(sort_key, axis=1, stable=True)[:, :max_neighbors]
-        row_keep = jnp.take_along_axis(keep, take, axis=1)
+        # compact kept candidates to the front: score kept columns by
+        # decreasing (W - col) and take top_k (much cheaper than a full
+        # argsort of the candidate axis)
+        w = keep.shape[1]
+        score = jnp.where(
+            keep, w - jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1), 0
+        )
+        vals, take = jax.lax.top_k(score, max_neighbors)
+        row_keep = vals > 0
         row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
         idx = jnp.where(row_keep, row_idx, crow[:, None])
         return idx.astype(jnp.int32), jnp.max(jnp.sum(keep, axis=1))
@@ -193,10 +240,12 @@ def build_neighbor_list(
         max_cnt = jnp.max(cnt_b)
 
     nbr_overflow = max_cnt > max_neighbors
+    rev = reverse_slots(idx) if (with_reverse and centers is None) else None
     return NeighborList(
         idx=idx,
         overflow=cell_overflow | nbr_overflow,
         reference_positions=positions,
+        rev=rev,
     )
 
 

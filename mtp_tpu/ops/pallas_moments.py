@@ -104,6 +104,36 @@ def _geometry(dispT_ref, mask_ref):
     return x, y, z, w, d, inv_d
 
 
+def _u_tables(basic, PX, PY, PZ, *, with_derivs=False):
+    """Shared unit-power products.
+
+    U[(ax,ay,az)] = ux^ax uy^ay uz^az, computed once per *distinct* exponent
+    triple (they repeat across radial indices mu). With derivs, also
+    Um[a][(triple)] = alpha_a * u^(alpha - e_a).
+    """
+    PYZ = {}
+    U = {}
+    Um = ({}, {}, {}) if with_derivs else None
+    for _, ax, ay, az in basic:
+        if (ay, az) not in PYZ:
+            PYZ[(ay, az)] = PY[ay] * PZ[az]
+        t = (ax, ay, az)
+        if t not in U:
+            U[t] = PX[ax] * PYZ[(ay, az)]
+        if with_derivs:
+            if ax > 0 and t not in Um[0]:
+                Um[0][t] = float(ax) * (PX[ax - 1] * PYZ[(ay, az)])
+            if ay > 0 and t not in Um[1]:
+                if (ay - 1, az) not in PYZ:
+                    PYZ[(ay - 1, az)] = PY[ay - 1] * PZ[az]
+                Um[1][t] = float(ay) * (PX[ax] * PYZ[(ay - 1, az)])
+            if az > 0 and t not in Um[2]:
+                if (ay, az - 1) not in PYZ:
+                    PYZ[(ay, az - 1)] = PY[ay] * PZ[az - 1]
+                Um[2][t] = float(az) * (PX[ax] * PYZ[(ay, az - 1)])
+    return U, Um
+
+
 def _fwd_kernel(
     dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, out_ref, *, sched_tables
 ):
@@ -115,12 +145,13 @@ def _fwd_kernel(
     it_row = it_ref[0][None, :]  # (1, TN)
     jt = jt_ref[:]
     f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
+    fw = [fm * w for fm in f]  # fold the neighbor mask into the radials once
     PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+    U, _ = _u_tables(basic, PX, PY, PZ)
 
     rows = []
     for mu, ax, ay, az in basic:
-        U = PX[ax] * PY[ay] * PZ[az]
-        rows.append(jnp.sum(f[mu] * U * w, axis=0))  # (TN,)
+        rows.append(jnp.sum(fw[mu] * U[(ax, ay, az)], axis=0))  # (TN,)
     for _ in range(B_pad - len(basic)):
         rows.append(jnp.zeros_like(rows[0]))
     out_ref[:] = jnp.stack(rows, axis=0)
@@ -139,30 +170,36 @@ def _bwd_kernel(
     f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
     fp = _pair_radials(cheb_d, coeff_ref, it_row, jt, S, MU)
     PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+    U, Um = _u_tables(basic, PX, PY, PZ, with_derivs=True)
 
-    Tx = jnp.zeros_like(x)
-    Ty = jnp.zeros_like(x)
-    Tz = jnp.zeros_like(x)
+    # hoisted radial factors: W2[mu] = f/d; W1[mu,rank] = f' - rank f/d
+    W2 = [fm * inv_d for fm in f]
+    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
+    W1 = {}
+    for mu in range(MU):
+        for r in ranks:
+            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
+
+    # T_a = u_a * sum_k c1_k U_k  +  sum_k (g_k W2[mu_k]) * Um_a[k]
+    P = jnp.zeros_like(x)
+    Dx = jnp.zeros_like(x)
+    Dy = jnp.zeros_like(x)
+    Dz = jnp.zeros_like(x)
     for k, (mu, ax, ay, az) in enumerate(basic):
         g = gamma_ref[k][None, :]  # (1, TN) -> broadcast over J
-        rank = ax + ay + az
-        U = PX[ax] * PY[ay] * PZ[az]
-        # radial part: (f' - rank f/d) * U * u_a
-        c1 = g * (fp[mu] - rank * f[mu] * inv_d) * U
-        Tx = Tx + c1 * ux
-        Ty = Ty + c1 * uy
-        Tz = Tz + c1 * uz
-        # angular part: (f/d) * alpha_a * u^(alpha - e_a)
-        c2 = g * f[mu] * inv_d
-        if ax > 0:
-            Tx = Tx + c2 * ax * PX[ax - 1] * PY[ay] * PZ[az]
-        if ay > 0:
-            Ty = Ty + c2 * ay * PX[ax] * PY[ay - 1] * PZ[az]
-        if az > 0:
-            Tz = Tz + c2 * az * PX[ax] * PY[ay] * PZ[az - 1]
-    out_ref[0] = Tx * w
-    out_ref[1] = Ty * w
-    out_ref[2] = Tz * w
+        t = (ax, ay, az)
+        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
+        if ax or ay or az:
+            gw2 = g * W2[mu]
+            if ax > 0:
+                Dx = Dx + gw2 * Um[0][t]
+            if ay > 0:
+                Dy = Dy + gw2 * Um[1][t]
+            if az > 0:
+                Dz = Dz + gw2 * Um[2][t]
+    out_ref[0] = (P * ux + Dx) * w
+    out_ref[1] = (P * uy + Dy) * w
+    out_ref[2] = (P * uz + Dz) * w
 
 
 def _pad_axis(a, mult, axis):
@@ -277,16 +314,40 @@ basic_moments_fused.defvjp(_fused_fwd, _fused_bwd)
 # ----------------------------------------------------------------------
 
 
+def _dag_matrices(sched):
+    """Static one-hot matrices per wave: row gathers/scatter-adds become MXU
+    matmuls (the TPU-native form of the product DAG — indices are trace-time
+    constants, so the matrices are compile-time constants).
+
+    Per wave: contrib = (W0 @ m) * (A1 @ m); m += S3 @ contrib, with the
+    integer multiplier folded into W0.
+    """
+    M = sched.alpha_moments_count
+    mats = []
+    for wave in sched.waves():
+        tw = len(wave)
+        w0 = np.zeros((tw, M), np.float64)
+        a1m = np.zeros((tw, M), np.float64)
+        s3 = np.zeros((M, tw), np.float64)
+        for r, (a0, a1, mult, a3) in enumerate(wave):
+            w0[r, a0] = mult
+            a1m[r, a1] = 1.0
+            s3[a3, r] = 1.0
+        mats.append((w0, a1m, s3))
+    return mats
+
+
 def contract_dag_t(sched, m_basic_t):
-    """Moments (M, N) from basic moments (B, N), wave by wave."""
+    """Moments (M, N) from basic moments (B, N), wave by wave, as matmuls."""
     N = m_basic_t.shape[1]
     M = sched.alpha_moments_count
-    m = jnp.zeros((M, N), dtype=m_basic_t.dtype)
+    dtype = m_basic_t.dtype
+    m = jnp.zeros((M, N), dtype=dtype)
     m = m.at[: sched.basic_count].set(m_basic_t)
-    for wave in sched.waves():
-        a0, a1, mult, a3 = (wave[:, k] for k in range(4))
-        contrib = m[a0] * m[a1] * jnp.asarray(mult, m.dtype)[:, None]
-        m = m.at[a3].add(contrib)
+    for w0, a1m, s3 in _dag_matrices(sched):
+        p0 = jnp.asarray(w0, dtype) @ m
+        p1 = jnp.asarray(a1m, dtype) @ m
+        m = m + jnp.asarray(s3, dtype) @ (p0 * p1)
     return m
 
 
