@@ -41,23 +41,15 @@ def main():
 
     from mtp_tpu.ops.neighbors import grid_shape
 
-    sim = Simulation(model, max_neighbors=64, skin=0.5, steps_per_rebuild=20)
+    sim = Simulation(
+        model, max_neighbors=64, skin=0.5, steps_per_rebuild=20, compute_virial=False
+    )
     grid = grid_shape(cell, model.cutoff + 0.5)
 
     n_steps = 200
-    n_blocks = n_steps // 20
 
     def run(state):
-        state, aux, overflow = sim.run_fused(
-            state,
-            0,
-            grid=grid,
-            max_neighbors=64,
-            n_blocks=n_blocks,
-            steps_per_block=20,
-            ensemble="nve",
-            dt=0.001,
-        )
+        state, _, overflow = sim.run_async(state, n_steps, ensemble="nve", dt=0.001)
         return state, overflow
 
     # warmup with the SAME shape as the timed run (one compile), and force

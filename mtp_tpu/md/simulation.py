@@ -42,10 +42,14 @@ class Simulation:
     steps_per_rebuild: int = 10
     remat: bool = True
     backend: str = "auto"  # "pallas" on TPU, "xla" elsewhere
+    # per-step virial tally (LAMMPS vflag analog). Required for NPT/pressure
+    # observables; turn off for pure-NVE throughput.
+    compute_virial: bool = True
 
-    def force_fn(self, nbr_idx, nbr_rev=None):
+    def force_fn(self, nbr_idx, nbr_rev=None, compute_virial=None):
         sched = self.model.schedule
         coeffs = self.model.coeffs
+        cv = self.compute_virial if compute_virial is None else compute_virial
 
         def fn(positions, types, cell):
             out = mtp_energy_forces(
@@ -58,6 +62,7 @@ class Simulation:
                 nbr_rev,
                 remat=self.remat,
                 backend=self.backend,
+                compute_virial=cv,
             )
             return out["forces"], out["energy"], out["virial"]
 
@@ -67,7 +72,37 @@ class Simulation:
 
     @partial(
         jax.jit,
-        static_argnames=("self", "ensemble", "n_steps", "grid", "max_neighbors"),
+        static_argnames=("self", "grid", "max_neighbors"),
+    )
+    def rebuild(self, state: MDState, *, grid: tuple, max_neighbors: int):
+        """Neighbor rebuild as its own dispatch (separating it from the step
+        scan keeps XLA from pessimizing the scan body)."""
+        return build_neighbor_list(
+            state.positions,
+            state.cell,
+            self.model.cutoff + self.skin,
+            max_neighbors=max_neighbors,
+            grid=grid,
+            with_reverse=True,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "ensemble"))
+    def refresh_forces(self, state: MDState, nl, *, ensemble: str = "nve"):
+        force_fn = self.force_fn(
+            nl.idx, nl.rev, compute_virial=self.compute_virial or ensemble == "npt"
+        )
+        return itg._with_forces(state, force_fn)
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "self",
+            "ensemble",
+            "n_steps",
+            "grid",
+            "max_neighbors",
+            "refresh",
+        ),
     )
     def block(
         self,
@@ -83,6 +118,7 @@ class Simulation:
         pressure: float = 0.0,
         tdamp: float = 0.1,
         pdamp: float = 1.0,
+        refresh: bool = False,
     ):
         cutoff = self.model.cutoff + self.skin
         nl = build_neighbor_list(
@@ -93,10 +129,43 @@ class Simulation:
             grid=grid,
             with_reverse=True,
         )
-        force_fn = self.force_fn(nl.idx, nl.rev)
-        # refresh forces for the new list (first block / post-rebuild)
-        state = itg._with_forces(state, force_fn)
+        force_fn = self.force_fn(
+            nl.idx, nl.rev, compute_virial=self.compute_virial or ensemble == "npt"
+        )
+        if refresh:
+            # incoming forces are stale/zero (first block after init or after
+            # an overflow retry); recompute. Otherwise the forces carried from
+            # the previous block's last step are already position-consistent.
+            state = itg._with_forces(state, force_fn)
 
+        state, aux = self._scan_steps(
+            state,
+            aux,
+            force_fn,
+            ensemble=ensemble,
+            n_steps=n_steps,
+            dt=dt,
+            temperature=temperature,
+            pressure=pressure,
+            tdamp=tdamp,
+            pdamp=pdamp,
+        )
+        return state, aux, nl.overflow
+
+    def _scan_steps(
+        self,
+        state,
+        aux,
+        force_fn,
+        *,
+        ensemble,
+        n_steps,
+        dt,
+        temperature,
+        pressure,
+        tdamp,
+        pdamp,
+    ):
         def one(carry, _):
             state, aux = carry
             if ensemble == "nve":
@@ -116,7 +185,92 @@ class Simulation:
             return (state, aux), None
 
         (state, aux), _ = jax.lax.scan(one, (state, aux), None, length=n_steps)
-        return state, aux, nl.overflow
+        return state, aux
+
+    @partial(
+        jax.jit,
+        static_argnames=("self", "ensemble", "n_steps"),
+    )
+    def steps(
+        self,
+        state: MDState,
+        aux,
+        nl,
+        *,
+        ensemble: str = "nve",
+        n_steps: int = 10,
+        dt: float = 0.001,
+        temperature: float = 300.0,
+        pressure: float = 0.0,
+        tdamp: float = 0.1,
+        pdamp: float = 1.0,
+    ):
+        """`n_steps` integrator steps with a frozen neighbor list (no rebuild
+        in-graph — pairs with :meth:`rebuild` for the async fast path)."""
+        force_fn = self.force_fn(
+            nl.idx, nl.rev, compute_virial=self.compute_virial or ensemble == "npt"
+        )
+        return self._scan_steps(
+            state,
+            aux,
+            force_fn,
+            ensemble=ensemble,
+            n_steps=n_steps,
+            dt=dt,
+            temperature=temperature,
+            pressure=pressure,
+            tdamp=tdamp,
+            pdamp=pdamp,
+        )
+
+    def run_async(
+        self,
+        state: MDState,
+        n_steps: int,
+        *,
+        ensemble: str = "nve",
+        dt: float = 0.001,
+        temperature: float = 300.0,
+        pressure: float = 0.0,
+        tdamp: float = 0.1,
+        pdamp: float = 1.0,
+        aux=None,
+    ):
+        """Throughput path: rebuild and step-scan dispatched as separate async
+        calls, forces carried across blocks (no redundant refresh), one host
+        sync at the end. Constant-cell ensembles only.
+
+        Returns (state, aux, overflow) — `overflow` is a device scalar; check
+        it after syncing and re-run with more capacity if set.
+        """
+        if ensemble == "npt":
+            raise ValueError("run_async supports constant-cell ensembles only")
+        if aux is None:
+            aux = _default_aux(ensemble, state)
+        grid = grid_shape(
+            np.asarray(jax.device_get(state.cell)), self.model.cutoff + self.skin
+        )
+        kw = dict(
+            ensemble=ensemble,
+            dt=dt,
+            temperature=temperature,
+            pressure=pressure,
+            tdamp=tdamp,
+            pdamp=pdamp,
+        )
+        overflow = None
+        done = 0
+        first = True
+        while done < n_steps:
+            k = min(self.steps_per_rebuild, n_steps - done)
+            nl = self.rebuild(state, grid=grid, max_neighbors=self.max_neighbors)
+            overflow = nl.overflow if overflow is None else (overflow | nl.overflow)
+            if first:
+                state = self.refresh_forces(state, nl, ensemble=ensemble)
+                first = False
+            state, aux = self.steps(state, aux, nl, n_steps=k, **kw)
+            done += k
+        return state, aux, overflow
 
     # ---- fully on-device run: scan over blocks, no host sync ----
 
@@ -220,6 +374,7 @@ class Simulation:
                 pressure=pressure,
                 tdamp=tdamp,
                 pdamp=pdamp,
+                refresh=True,
             )
             if bool(overflow):
                 # discard the block and retry with more capacity

@@ -104,16 +104,33 @@ def minimum_image(disp, cell, inv_cell):
     return frac @ cell
 
 
+def _gather_scalar(arr, idx):
+    """Gather scalars by index through 8-lane-padded rows (fast TPU path)."""
+    a8 = jnp.pad(arr[:, None], ((0, 0), (0, 7)))
+    return a8[idx][..., 0]
+
+
+def _gather_rows3(arr3, idx):
+    """Gather (..., 3) rows by flat index, padded to 8 lanes first.
+
+    TPU gathers move 8-lane-aligned (32 B) rows ~10x faster than 3-float
+    rows; the pad + slice is fused around the gather.
+    """
+    a8 = jnp.pad(arr3, ((0, 0), (0, 5)))
+    return a8[idx][..., :3]
+
+
 def gather_displacements(positions, nbr_idx, cell=None, inv_cell=None):
     """disp[i, jj] = x[nbr_idx[i, jj]] - x[i], minimum-imaged if periodic."""
-    disp = positions[nbr_idx] - positions[:, None, :]
+    disp = _gather_rows3(positions, nbr_idx) - positions[:, None, :]
     if cell is not None:
         disp = minimum_image(disp, cell, inv_cell)
     return disp
 
 
 @partial(
-    jax.jit, static_argnames=("sched", "remat", "compute_vatom", "backend")
+    jax.jit,
+    static_argnames=("sched", "remat", "compute_vatom", "backend", "compute_virial"),
 )
 def mtp_energy_forces(
     sched: MTPSchedule,
@@ -127,6 +144,7 @@ def mtp_energy_forces(
     remat: bool = True,
     compute_vatom: bool = False,
     backend: str = "auto",
+    compute_virial: bool = True,
 ):
     """Energy, forces, virial for one configuration.
 
@@ -151,7 +169,7 @@ def mtp_energy_forces(
     mask = (d2 <= sched.max_dist**2) & (~self_pair)
 
     itypes = types
-    jtypes = types[nbr_idx]
+    jtypes = _gather_scalar(types, nbr_idx)
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -177,32 +195,42 @@ def mtp_energy_forces(
     if nbr_rev is not None:
         j = nbr_idx.shape[1]
         flat = pair_t.reshape(-1, 3)
-        t_ji = flat[(nbr_idx * j + nbr_rev).reshape(-1)].reshape(pair_t.shape)
+        t_ji = _gather_rows3(flat, (nbr_idx * j + nbr_rev).reshape(-1)).reshape(
+            pair_t.shape
+        )
         t_ji = t_ji * mask[..., None].astype(pair_t.dtype)
         forces = jnp.sum(pair_t - t_ji, axis=1)
     else:
         forces = jnp.sum(pair_t, axis=1)
         forces = forces.at[nbr_idx.reshape(-1)].add(-pair_t.reshape(-1, 3))
 
-    # virial tally (pair_mtp.cpp:257-266): W -= sym(T (x) r)
-    r = jnp.where(mask[..., None], disp, 0.0)
-    vxx = -jnp.sum(pair_t[..., 0] * r[..., 0], axis=1)
-    vyy = -jnp.sum(pair_t[..., 1] * r[..., 1], axis=1)
-    vzz = -jnp.sum(pair_t[..., 2] * r[..., 2], axis=1)
-    vxy = -0.5 * jnp.sum(pair_t[..., 0] * r[..., 1] + pair_t[..., 1] * r[..., 0], axis=1)
-    vxz = -0.5 * jnp.sum(pair_t[..., 0] * r[..., 2] + pair_t[..., 2] * r[..., 0], axis=1)
-    vyz = -0.5 * jnp.sum(pair_t[..., 1] * r[..., 2] + pair_t[..., 2] * r[..., 1], axis=1)
-    vatom = jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)  # (N, 6)
-    virial = jnp.sum(vatom, axis=0)
-
     out = dict(
         energy=jnp.sum(site_e),
         site_energies=site_e,
         forces=forces,
-        virial=virial,
     )
-    if compute_vatom:
-        out["vatom"] = vatom
+    if compute_virial or compute_vatom:
+        # virial tally (pair_mtp.cpp:257-266): W -= sym(T (x) r). Optional,
+        # like LAMMPS's vflag: NVE inner steps don't need per-step pressure.
+        r = jnp.where(mask[..., None], disp, 0.0)
+        vxx = -jnp.sum(pair_t[..., 0] * r[..., 0], axis=1)
+        vyy = -jnp.sum(pair_t[..., 1] * r[..., 1], axis=1)
+        vzz = -jnp.sum(pair_t[..., 2] * r[..., 2], axis=1)
+        vxy = -0.5 * jnp.sum(
+            pair_t[..., 0] * r[..., 1] + pair_t[..., 1] * r[..., 0], axis=1
+        )
+        vxz = -0.5 * jnp.sum(
+            pair_t[..., 0] * r[..., 2] + pair_t[..., 2] * r[..., 0], axis=1
+        )
+        vyz = -0.5 * jnp.sum(
+            pair_t[..., 1] * r[..., 2] + pair_t[..., 2] * r[..., 1], axis=1
+        )
+        vatom = jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)  # (N, 6)
+        out["virial"] = jnp.sum(vatom, axis=0)
+        if compute_vatom:
+            out["vatom"] = vatom
+    else:
+        out["virial"] = jnp.zeros((6,), dtype=forces.dtype)
     return out
 
 
