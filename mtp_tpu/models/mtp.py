@@ -98,10 +98,22 @@ def minimum_image(disp, cell, inv_cell):
     Valid when the cell is at least twice the cutoff in every perpendicular
     width (the usual MD constraint; the reference inherits it from LAMMPS's
     domain decomposition).
+
+    The 3x3 products are unrolled into per-component elementwise ops: a
+    (..., 3) @ (3, 3) matmul uses 3/128 lanes on the MXU, while the unrolled
+    form runs full-width on the VPU (~10x faster at N*J scale).
     """
-    frac = disp @ inv_cell
-    frac -= jnp.round(frac)
-    return frac @ cell
+    d = [disp[..., 0], disp[..., 1], disp[..., 2]]
+    f = [
+        d[0] * inv_cell[0, a] + d[1] * inv_cell[1, a] + d[2] * inv_cell[2, a]
+        for a in range(3)
+    ]
+    f = [fa - jnp.round(fa) for fa in f]
+    out = [
+        f[0] * cell[0, a] + f[1] * cell[1, a] + f[2] * cell[2, a]
+        for a in range(3)
+    ]
+    return jnp.stack(out, axis=-1)
 
 
 def _gather_scalar(arr, idx):
@@ -238,10 +250,12 @@ def _pallas_site_energy_vjp(sched, coeffs, disp, mask, itypes, jtypes):
     """Site energies + per-pair forces through the fused Pallas kernels.
 
     Repacks (N, J, ...) pair data to the kernels' lane-major layout
-    ((3, J, N) / (J, N), N padded to 128, J to 8), runs the custom-vjp fused
-    op, and unpacks pair_T back to (N, J, 3).
+    ((3, J, N) / (J, N), N padded to 128, J to 8), runs the fully-fused
+    custom-vjp megakernel, and unpacks pair_T back to (N, J, 3).
     """
-    from mtp_tpu.ops.pallas_moments import TILE_N, site_energies_fused
+    import numpy as _np
+
+    from mtp_tpu.ops.pallas_moments import TILE_N, site_energies_mega
 
     n, j = mask.shape
     n_pad = (-n) % TILE_N
@@ -252,14 +266,28 @@ def _pallas_site_energy_vjp(sched, coeffs, disp, mask, itypes, jtypes):
     maskf = mask.astype(dtype).T  # (J, N)
     it_row = itypes[None, :].astype(jnp.int32)
     jt_t = jtypes.T.astype(jnp.int32)
+    esp = coeffs.species_coeffs.astype(dtype)[itypes][None, :]  # (1, N)
     if n_pad or j_pad:
         dispT = jnp.pad(dispT, ((0, 0), (0, j_pad), (0, n_pad)))
         maskf = jnp.pad(maskf, ((0, j_pad), (0, n_pad)))
         it_row = jnp.pad(it_row, ((0, 0), (0, n_pad)))
         jt_t = jnp.pad(jt_t, ((0, j_pad), (0, n_pad)))
+        esp = jnp.pad(esp, ((0, 0), (0, n_pad)))
+
+    m_total = sched.alpha_moments_count
+    m_pad = -(-m_total // 8) * 8
+    mapping = _np.asarray(sched.mapping)
+    xi_full = (
+        jnp.zeros((1, m_pad), dtype)
+        .at[0, mapping]
+        .set(coeffs.moment_coeffs.astype(dtype))
+    )
 
     site_e, vjp = jax.vjp(
-        lambda d: site_energies_fused(sched, coeffs, d, maskf, it_row, jt_t),
+        lambda d: site_energies_mega(
+            sched, d, maskf, it_row, jt_t,
+            coeffs.radial_coeffs.astype(dtype), xi_full, esp,
+        ),
         dispT,
     )
     (pair_tT,) = vjp(jnp.ones_like(site_e))

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 128
+TILE_N = 256
 
 
 def _cheb_vals(d, lo, hi, scaling, size):
@@ -307,6 +307,221 @@ def _fused_bwd(sched, res, gamma):
 
 
 basic_moments_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ----------------------------------------------------------------------
+# megakernel: per-pair stage + contraction DAG + readout fused in VMEM
+# ----------------------------------------------------------------------
+
+
+def _prep_mega(sched):
+    tables = _prep(sched)
+    B_pad = tables[-1]
+    M = sched.alpha_moments_count
+    M_pad = -(-M // 8) * 8
+    mats = [
+        (
+            np.asarray(w0, np.float32),
+            np.asarray(a1m, np.float32),
+            np.asarray(s3, np.float32),
+        )
+        for w0, a1m, s3 in _dag_matrices(sched)
+    ]
+    return tables, B_pad, M, M_pad, mats
+
+
+def _moments_tile(sched_tables, dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref):
+    """Shared fwd compute: basic moment rows for one atom tile."""
+    basic, S, MU, RB, lo, hi, scaling, max_rank, B_pad = sched_tables
+    x, y, z, w, d, inv_d = _geometry(dispT_ref, mask_ref)
+    ux, uy, uz = x * inv_d, y * inv_d, z * inv_d
+    cheb = _cheb_vals(d, lo, hi, scaling, RB)
+    it_row = it_ref[0][None, :]
+    jt = jt_ref[:]
+    f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
+    fw = [fm * w for fm in f]
+    PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+    U, _ = _u_tables(basic, PX, PY, PZ)
+    rows = [jnp.sum(fw[mu] * U[(ax, ay, az)], axis=0) for mu, ax, ay, az in basic]
+    return rows
+
+
+def _dag_tile(mat_refs, M_pad, rows, tn, dtype):
+    """DAG forward on one tile via one-hot matmuls (matrices are inputs).
+
+    Returns (moments (M_pad, TN), per-wave (p0, p1) residuals)."""
+    zero = jnp.zeros((tn,), dtype)
+    m = jnp.stack(rows + [zero] * (M_pad - len(rows)), axis=0)
+    resid = []
+    for w0_ref, a1_ref, s3_ref in mat_refs:
+        p0 = jnp.dot(w0_ref[:], m, preferred_element_type=m.dtype)
+        p1 = jnp.dot(a1_ref[:], m, preferred_element_type=m.dtype)
+        m = m + jnp.dot(s3_ref[:], p0 * p1, preferred_element_type=m.dtype)
+        resid.append((p0, p1))
+    return m, resid
+
+
+def _pack_mats(mats, M, M_pad, dtype):
+    """Pad the per-wave DAG matrices for the kernel inputs."""
+    out = []
+    for w0, a1m, s3 in mats:
+        out.append(jnp.asarray(np.pad(w0, ((0, 0), (0, M_pad - M))), dtype))
+        out.append(jnp.asarray(np.pad(a1m, ((0, 0), (0, M_pad - M))), dtype))
+        out.append(jnp.asarray(np.pad(s3, ((0, M_pad - M), (0, 0))), dtype))
+    return out
+
+
+def _mega_fwd_kernel(
+    dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, xi_ref, esp_ref, *refs,
+    sched_tables, n_waves, M_pad
+):
+    out_ref = refs[-1]
+    mat_refs = [tuple(refs[3 * k : 3 * k + 3]) for k in range(n_waves)]
+    rows = _moments_tile(sched_tables, dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref)
+    tn = rows[0].shape[0]
+    m, _ = _dag_tile(mat_refs, M_pad, rows, tn, rows[0].dtype)
+    e = jnp.dot(xi_ref[:], m, preferred_element_type=m.dtype)  # (1, TN)
+    out_ref[:] = e + esp_ref[:]
+
+
+def _mega_bwd_kernel(
+    dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, xi_ref, de_ref, *refs,
+    sched_tables, n_waves, M_pad
+):
+    out_ref = refs[-1]
+    mat_refs = [tuple(refs[3 * k : 3 * k + 3]) for k in range(n_waves)]
+    basic, S, MU, RB, lo, hi, scaling, max_rank, B_pad = sched_tables
+    x, y, z, w, d, inv_d = _geometry(dispT_ref, mask_ref)
+    ux, uy, uz = x * inv_d, y * inv_d, z * inv_d
+    cheb, cheb_d = _cheb_vals_ders(d, lo, hi, scaling, RB)
+    it_row = it_ref[0][None, :]
+    jt = jt_ref[:]
+    f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
+    fp = _pair_radials(cheb_d, coeff_ref, it_row, jt, S, MU)
+    fw = [fm * w for fm in f]
+    PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+    U, Um = _u_tables(basic, PX, PY, PZ, with_derivs=True)
+
+    # forward moments (recompute; cheaper than spilling to HBM)
+    rows = [jnp.sum(fw[mu] * U[(ax, ay, az)], axis=0) for mu, ax, ay, az in basic]
+    tn = rows[0].shape[0]
+    m, resid = _dag_tile(mat_refs, M_pad, rows, tn, rows[0].dtype)
+
+    # DAG reverse: dm starts at the readout row, pulled back wave by wave
+    dm = xi_ref[:].T * de_ref[:]  # (M_pad, 1) * (1, TN) -> (M_pad, TN)
+    for (w0_ref, a1_ref, s3_ref), (p0, p1) in zip(reversed(mat_refs), reversed(resid)):
+        dc = jnp.dot(s3_ref[:].T, dm, preferred_element_type=dm.dtype)
+        dm = dm + jnp.dot(w0_ref[:].T, dc * p1, preferred_element_type=dm.dtype)
+        dm = dm + jnp.dot(a1_ref[:].T, dc * p0, preferred_element_type=dm.dtype)
+
+    # pair forces from gamma = dm[:B] (same math as _bwd_kernel)
+    W2 = [fm * inv_d for fm in f]
+    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
+    W1 = {}
+    for mu in range(MU):
+        for r in ranks:
+            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
+
+    P = jnp.zeros_like(x)
+    Dx = jnp.zeros_like(x)
+    Dy = jnp.zeros_like(x)
+    Dz = jnp.zeros_like(x)
+    for k, (mu, ax, ay, az) in enumerate(basic):
+        g = dm[k][None, :]
+        t = (ax, ay, az)
+        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
+        if ax or ay or az:
+            gw2 = g * W2[mu]
+            if ax > 0:
+                Dx = Dx + gw2 * Um[0][t]
+            if ay > 0:
+                Dy = Dy + gw2 * Um[1][t]
+            if az > 0:
+                Dz = Dz + gw2 * Um[2][t]
+    out_ref[0] = (P * ux + Dx) * w
+    out_ref[1] = (P * uy + Dy) * w
+    out_ref[2] = (P * uz + Dz) * w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def site_energies_mega(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp):
+    """Per-atom energies, fully fused: per-pair stage, contraction DAG (as
+    constant one-hot MXU matmuls), and linear readout in one kernel.
+
+    xi_full: (1, M_pad) moment_coeffs scattered to their moment slots.
+    esp: (1, N) per-atom species reference energies.
+    Differentiable w.r.t. dispT only (MD path).
+    """
+    return _mega_fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp)
+
+
+def _mega_fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp):
+    tables, B_pad, M, M_pad, mats = _prep_mega(sched)
+    J, N = mask.shape
+    mat_args = _pack_mats(mats, M, M_pad, dispT.dtype)
+    out = pl.pallas_call(
+        functools.partial(
+            _mega_fwd_kernel,
+            sched_tables=tables,
+            n_waves=len(mats),
+            M_pad=M_pad,
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, N), dispT.dtype),
+        grid=(N // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mat_args],
+        out_specs=pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp, *mat_args)
+    return out[0]
+
+
+def _mega_fwd_vjp(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp):
+    out = _mega_fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp)
+    return out, (dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full)
+
+
+def _mega_bwd_vjp(sched, res, de):
+    dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full = res
+    tables, B_pad, M, M_pad, mats = _prep_mega(sched)
+    J, N = mask.shape
+    mat_args = _pack_mats(mats, M, M_pad, dispT.dtype)
+    pair_t = pl.pallas_call(
+        functools.partial(
+            _mega_bwd_kernel,
+            sched_tables=tables,
+            n_waves=len(mats),
+            M_pad=M_pad,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, J, N), dispT.dtype),
+        grid=(N // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mat_args],
+        out_specs=pl.BlockSpec(
+            (3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, de[None, :], *mat_args)
+    return (pair_t, None, None, None, None, None, None)
+
+
+site_energies_mega.defvjp(_mega_fwd_vjp, _mega_bwd_vjp)
 
 
 # ----------------------------------------------------------------------
