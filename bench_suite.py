@@ -1,0 +1,162 @@
+"""Benchmark suite: the BASELINE.md config matrix, one JSON line per config.
+
+(bench.py stays the single-line headline benchmark the driver consumes; this
+suite is the broader evidence: parity config, NPT with stress, multi-species,
+active learning, and a large-system run.)
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _jsonline(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mtp_tpu.al.driver import ExtrapolationMonitor
+    from mtp_tpu.al.grades import candidate_vectors, nbh_grades
+    from mtp_tpu.al.maxvol import build_mvs
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.md.simulation import Simulation, make_lattice
+    from mtp_tpu.md.state import init_state, pressure_of, thermalize
+    from mtp_tpu.models.mtp import MTPModel
+    from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+
+    def throughput(model, reps, n_steps=100, **run_kw):
+        pos, types, cell = make_lattice("fcc", 4.0, reps, **run_kw.pop("lat", {}))
+        n = len(pos)
+        state = thermalize(
+            jax.random.PRNGKey(0),
+            init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
+            300.0,
+        )
+        sim = Simulation(
+            model, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+            compute_virial=run_kw.pop("virial", False),
+        )
+        ensemble = run_kw.pop("ensemble", "nve")
+        if ensemble == "npt":
+            state, aux = sim.run(state, n_steps, ensemble="npt", dt=0.001, **run_kw)
+            return state, None
+        state, _, overflow = sim.run_async(state, n_steps, ensemble=ensemble, dt=0.001, **run_kw)
+        float(jnp.sum(state.positions))
+        assert not bool(overflow)
+        t0 = time.perf_counter()
+        state, _, overflow = sim.run_async(state, n_steps, ensemble=ensemble, dt=0.001, **run_kw)
+        float(jnp.sum(state.positions))
+        return n, n * n_steps / (time.perf_counter() - t0)
+
+    # 1. parity config: 2k-atom fcc, level-8 (BASELINE config 1)
+    model8 = MTPModel.from_data(make_mtp(8, species_count=1, seed=0), dtype=jnp.float32)
+    n, v = throughput(model8, (8, 8, 8))
+    _jsonline(config="2k-atom level-8 NVE", atoms=n, atom_steps_per_s=round(v, 1))
+
+    # 2. level-16 32k NPT with virial/stress every step (BASELINE config 2)
+    model16 = MTPModel.from_data(make_mtp(16, species_count=1, seed=0), dtype=jnp.float32)
+    pos, types, cell = make_lattice("fcc", 4.0, (20, 20, 20))
+    state = thermalize(
+        jax.random.PRNGKey(1),
+        init_state(pos, types, np.full(len(pos), 58.693), cell, dtype=jnp.float32),
+        300.0,
+    )
+    sim = Simulation(model16, max_neighbors=96, skin=0.5, steps_per_rebuild=20,
+                     compute_virial=True)
+    state, aux, ovf = sim.run_async(state, 20, ensemble="npt", dt=0.001,
+                                    temperature=300.0, pressure=0.0,
+                                    tdamp=0.1, pdamp=1.0)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    t0 = time.perf_counter()
+    state, aux, ovf = sim.run_async(state, 100, ensemble="npt", dt=0.001,
+                                    temperature=300.0, pressure=0.0,
+                                    tdamp=0.1, pdamp=1.0, aux=aux)
+    float(jnp.sum(state.positions))
+    v = len(pos) * 100 / (time.perf_counter() - t0)
+    assert not bool(ovf)
+    _jsonline(config="32k-atom level-16 NPT (per-step stress)", atoms=len(pos),
+              atom_steps_per_s=round(v, 1), pressure_bar=round(float(pressure_of(state)), 1))
+
+    # 3. binary alloy, per-pair radial coefficients (BASELINE config 3)
+    model2s = MTPModel.from_data(
+        make_mtp(16, species_count=2, seed=1), dtype=jnp.float32
+    )
+    pos, types, cell = make_lattice("fcc", 4.0, (20, 20, 20), type_pattern=(0, 1))
+    state = thermalize(
+        jax.random.PRNGKey(2),
+        init_state(pos, types, np.where(types == 0, 58.693, 95.95), cell, dtype=jnp.float32),
+        300.0,
+    )
+    sim = Simulation(model2s, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+                     compute_virial=False)
+    state, _, ovf = sim.run_async(state, 100, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    t0 = time.perf_counter()
+    state, _, ovf = sim.run_async(state, 100, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions))
+    v = len(pos) * 100 / (time.perf_counter() - t0)
+    _jsonline(config="32k-atom level-16 binary alloy NVE", atoms=len(pos),
+              atom_steps_per_s=round(v, 1))
+
+    # 4. neighborhood-mode active learning (BASELINE config 4)
+    m8 = make_mtp(8, species_count=1, seed=0)
+    model = MTPModel.from_data(m8, dtype=jnp.float32)
+    pos, types, cell = make_lattice("fcc", 4.0, (10, 10, 10))
+    rng = np.random.default_rng(0)
+    rows = []
+    for s in (0.02, 0.06, 0.1):
+        p = jnp.asarray(pos + rng.normal(scale=s, size=pos.shape), jnp.float32)
+        nl = build_neighbor_list(p, jnp.asarray(cell, jnp.float32), model.cutoff,
+                                 max_neighbors=64, grid=grid_shape(cell, model.cutoff))
+        b, _ = candidate_vectors(model.schedule, model.coeffs, p,
+                                 jnp.asarray(types), nl.idx, jnp.asarray(cell, jnp.float32))
+        rows.append(np.asarray(b))
+    m8.mvs = build_mvs(np.concatenate(rows, 0), mode="neighborhood")
+    model = MTPModel.from_data(m8, dtype=jnp.float32)
+    p0 = jnp.asarray(pos, jnp.float32)
+    nl = build_neighbor_list(p0, jnp.asarray(cell, jnp.float32), model.cutoff,
+                             max_neighbors=64, grid=grid_shape(cell, model.cutoff))
+    b, _ = candidate_vectors(model.schedule, model.coeffs, p0, jnp.asarray(types),
+                             nl.idx, jnp.asarray(cell, jnp.float32))
+    g = nbh_grades(b, model.inverse_active_set)
+    float(jnp.max(g))
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        b, _ = candidate_vectors(model.schedule, model.coeffs, p0, jnp.asarray(types),
+                                 nl.idx, jnp.asarray(cell, jnp.float32))
+        g = nbh_grades(b, model.inverse_active_set)
+    mg = float(jnp.max(g))
+    dt = (time.perf_counter() - t0) / reps
+    _jsonline(config="4k-atom neighborhood AL grade eval", atoms=len(pos),
+              grade_evals_per_s=round(1 / dt, 2), max_grade=round(mg, 3))
+
+    # 5. large system single chip (the per-chip shard size of a multi-chip run)
+    pos, types, cell = make_lattice("fcc", 4.0, (40, 40, 25))  # 160k atoms
+    n = len(pos)
+    state = thermalize(
+        jax.random.PRNGKey(3),
+        init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
+        300.0,
+    )
+    sim = Simulation(model16, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+                     compute_virial=False)
+    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    t0 = time.perf_counter()
+    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions))
+    v = n * 40 / (time.perf_counter() - t0)
+    _jsonline(config="160k-atom level-16 NVE (per-chip shard scale)", atoms=n,
+              atom_steps_per_s=round(v, 1))
+
+
+if __name__ == "__main__":
+    main()

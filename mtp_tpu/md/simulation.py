@@ -241,10 +241,10 @@ class Simulation:
         sync at the end. Constant-cell ensembles only.
 
         Returns (state, aux, overflow) — `overflow` is a device scalar; check
-        it after syncing and re-run with more capacity if set.
+        it after syncing and re-run with more capacity if set. NPT is allowed:
+        the bin grid is chosen from the initial cell and the builder flags
+        `overflow` if the cell shrinks past the grid's validity.
         """
-        if ensemble == "npt":
-            raise ValueError("run_async supports constant-cell ensembles only")
         if aux is None:
             aux = _default_aux(ensemble, state)
         grid = grid_shape(
@@ -303,10 +303,9 @@ class Simulation:
     ):
         """`n_blocks` x (neighbor rebuild + steps_per_block steps) as ONE
         compiled program. Overflow flags are OR-reduced and returned at the
-        end (caller re-runs with more capacity if set). Constant-volume
-        ensembles only (the bin grid is static)."""
-        if ensemble == "npt":
-            raise ValueError("run_fused supports constant-cell ensembles only")
+        end (caller re-runs with more capacity if set). Under NPT the bin
+        grid comes from the initial cell; the builder flags overflow if the
+        cell shrinks past the grid's validity."""
 
         def one_block(carry, _):
             state, aux, ovf = carry

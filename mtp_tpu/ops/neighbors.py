@@ -136,6 +136,15 @@ def build_neighbor_list(
     frac = positions @ inv_cell
     frac = frac - jnp.floor(frac)  # wrap to [0,1)
 
+    # the bin grid is static but the cell is runtime (NPT changes volume):
+    # flag if any binned dimension's width has shrunk below the cutoff
+    # (dims with <3 bins use an all-bins stencil, so no constraint there)
+    widths = 1.0 / jnp.linalg.norm(inv_cell, axis=1)
+    checked = jnp.asarray([g >= 3 for g in grid])
+    geom_overflow = jnp.any(
+        checked & (widths / jnp.asarray(grid, widths.dtype) < cutoff)
+    )
+
     dims = jnp.asarray(grid)
     bin3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
     bin_id = (bin3[:, 0] * gy + bin3[:, 1]) * gz + bin3[:, 2]
@@ -243,7 +252,7 @@ def build_neighbor_list(
     rev = reverse_slots(idx) if (with_reverse and centers is None) else None
     return NeighborList(
         idx=idx,
-        overflow=cell_overflow | nbr_overflow,
+        overflow=cell_overflow | nbr_overflow | geom_overflow,
         reference_positions=positions,
         rev=rev,
     )

@@ -123,17 +123,22 @@ def make_sharded_md_block(
 
     def compute_forces(pos, ext_types, ext_real, nbr_idx, cell):
         """Forces on own atoms + (energy, virial) shard contributions."""
+        from mtp_tpu.models.mtp import _gather_rows3, _gather_scalar, minimum_image
+
         ext_pos = exchange_positions(pos)
         inv_cell = jnp.linalg.inv(cell)
-        disp = ext_pos[nbr_idx] - ext_pos[:capacity, None, :]
-        fr = disp @ inv_cell
-        fr -= jnp.round(fr)
-        disp = fr @ cell
+        disp = _gather_rows3(ext_pos, nbr_idx) - ext_pos[:capacity, None, :]
+        disp = minimum_image(disp, cell, inv_cell)
         d2 = jnp.sum(disp * disp, axis=-1)
         self_pair = nbr_idx == jnp.arange(capacity, dtype=nbr_idx.dtype)[:, None]
-        mask = (d2 <= cutoff**2) & (~self_pair) & ext_real[nbr_idx] & ext_real[:capacity, None]
+        mask = (
+            (d2 <= cutoff**2)
+            & (~self_pair)
+            & _gather_scalar(ext_real, nbr_idx)
+            & ext_real[:capacity, None]
+        )
         itypes = ext_types[:capacity]
-        jtypes = ext_types[nbr_idx]
+        jtypes = _gather_scalar(ext_types, nbr_idx)
 
         fn = site_energies
         if remat:

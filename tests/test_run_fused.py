@@ -43,18 +43,21 @@ def test_run_fused_matches_host_loop(mtp_level8, rng):
     )
 
 
-def test_run_fused_rejects_npt(mtp_level8):
-    model = MTPModel.from_data(mtp_level8, dtype=jnp.float64)
-    pos, types, cell = make_lattice("fcc", 4.0, (2, 2, 2))
-    state = init_state(pos, types, np.full(len(pos), 58.7), cell, dtype=jnp.float64)
-    sim = Simulation(model)
-    with pytest.raises(ValueError):
-        sim.run_fused(
-            state,
-            0,
-            grid=(2, 2, 2),
-            max_neighbors=16,
-            n_blocks=1,
-            steps_per_block=1,
-            ensemble="npt",
-        )
+def test_geometry_overflow_flag(mtp_level8, rng):
+    """Shrinking the cell past the static grid's validity trips overflow."""
+    from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+
+    L = 24.0
+    cell = np.diag([L, L, L])
+    pos = rng.uniform(0, L, (60, 3))
+    grid = grid_shape(cell, 3.0)
+    assert min(grid) >= 3
+    ok = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), 3.0, max_neighbors=60, grid=grid
+    )
+    assert not bool(ok.overflow)
+    shrunk = build_neighbor_list(
+        jnp.asarray(pos) * 0.5, jnp.asarray(cell) * 0.5, 3.0,
+        max_neighbors=60, grid=grid,
+    )
+    assert bool(shrunk.overflow)
