@@ -2,11 +2,14 @@
 integrator into a jitted `lax.scan` time loop.
 
 Replaces the LAMMPS Verlet driver the reference plugs into (SURVEY.md §2.2).
-Structure: an outer (host or scanned) loop over *blocks*; each block rebuilds
-the neighbor list once, then runs `steps_per_rebuild` integrator steps with
-the frozen list (a Verlet-list cadence with skin). Everything inside a block
-is one compiled XLA program; the fully-jitted `run_blocks` keeps even the
-rebuild on device so benchmarks never sync with the host.
+Structure: a loop over *blocks*; each block rebuilds the neighbor list once,
+then runs `steps_per_rebuild` integrator steps with the frozen list (a
+Verlet-list cadence with skin). Three drivers:
+
+* `run`        — host loop, per-block overflow check + observer hook.
+* `run_async`  — throughput path: rebuild and step-scan dispatched as
+                 separate async calls, one host sync at the end.
+* `run_fused`  — everything (all blocks) in ONE compiled program.
 """
 
 from __future__ import annotations
@@ -45,6 +48,10 @@ class Simulation:
     # per-step virial tally (LAMMPS vflag analog). Required for NPT/pressure
     # observables; turn off for pure-NVE throughput.
     compute_virial: bool = True
+    # bin-grid safety margin: bins are sized >= grid_margin*(cutoff+skin), so
+    # an NPT cell can shrink by (grid_margin-1) before the static grid needs
+    # recomputing (the geometry-overflow flag trips past that).
+    grid_margin: float = 1.0
 
     def force_fn(self, nbr_idx, nbr_rev=None, compute_virial=None):
         sched = self.model.schedule
@@ -248,7 +255,8 @@ class Simulation:
         if aux is None:
             aux = _default_aux(ensemble, state)
         grid = grid_shape(
-            np.asarray(jax.device_get(state.cell)), self.model.cutoff + self.skin
+            np.asarray(jax.device_get(state.cell)),
+            (self.model.cutoff + self.skin) * self.grid_margin,
         )
         kw = dict(
             ensemble=ensemble,
@@ -359,7 +367,8 @@ class Simulation:
         while done < n_steps:
             k = min(self.steps_per_rebuild, n_steps - done)
             grid = grid_shape(
-                np.asarray(jax.device_get(state.cell)), self.model.cutoff + self.skin
+                np.asarray(jax.device_get(state.cell)),
+                (self.model.cutoff + self.skin) * self.grid_margin,
             )
             new_state, new_aux, overflow = self.block(
                 state,

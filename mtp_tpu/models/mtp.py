@@ -255,11 +255,11 @@ def _pallas_site_energy_vjp(sched, coeffs, disp, mask, itypes, jtypes):
     """
     import numpy as _np
 
-    from mtp_tpu.ops.pallas_moments import TILE_N, site_energies_mega
+    from mtp_tpu.ops.pallas_moments import _tile_n, site_energies_mega
 
     n, j = mask.shape
-    n_pad = (-n) % TILE_N
     j_pad = (-j) % 8
+    n_pad = (-n) % _tile_n(j + j_pad)
     dtype = disp.dtype
 
     dispT = jnp.moveaxis(disp, (0, 1, 2), (2, 1, 0))  # (3, J, N)

@@ -32,6 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_N = 256
 
 
+def _tile_n(j: int) -> int:
+    """Atom-tile width: large tiles amortize the in-kernel DAG matmuls, but
+    per-pair (J, TN) VMEM arrays must fit the ~16MB scoped budget."""
+    return 256 if j <= 64 else 128
+
+
 def _cheb_vals(d, lo, hi, scaling, size):
     ksi = (2.0 * d - (lo + hi)) / (hi - lo)
     env = scaling * (d - hi) ** 2
@@ -458,6 +464,7 @@ def site_energies_mega(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_f
 def _mega_fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp):
     tables, B_pad, M, M_pad, mats = _prep_mega(sched)
     J, N = mask.shape
+    TN = _tile_n(J)
     mat_args = _pack_mats(mats, M, M_pad, dispT.dtype)
     out = pl.pallas_call(
         functools.partial(
@@ -467,18 +474,18 @@ def _mega_fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp)
             M_pad=M_pad,
         ),
         out_shape=jax.ShapeDtypeStruct((1, N), dispT.dtype),
-        grid=(N // TILE_N,),
+        grid=(N // TN,),
         in_specs=[
-            pl.BlockSpec((3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, TN), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mat_args],
-        out_specs=pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp, *mat_args)
     return out[0]
@@ -493,6 +500,7 @@ def _mega_bwd_vjp(sched, res, de):
     dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full = res
     tables, B_pad, M, M_pad, mats = _prep_mega(sched)
     J, N = mask.shape
+    TN = _tile_n(J)
     mat_args = _pack_mats(mats, M, M_pad, dispT.dtype)
     pair_t = pl.pallas_call(
         functools.partial(
@@ -502,19 +510,19 @@ def _mega_bwd_vjp(sched, res, de):
             M_pad=M_pad,
         ),
         out_shape=jax.ShapeDtypeStruct((3, J, N), dispT.dtype),
-        grid=(N // TILE_N,),
+        grid=(N // TN,),
         in_specs=[
-            pl.BlockSpec((3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, TN), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mat_args],
         out_specs=pl.BlockSpec(
-            (3, J, TILE_N), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (3, J, TN), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
     )(dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, de[None, :], *mat_args)
