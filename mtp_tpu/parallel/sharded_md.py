@@ -246,6 +246,127 @@ def make_sharded_md_block(
     return block
 
 
+def make_sharded_grades(
+    model: MTPModel,
+    mesh: Mesh,
+    *,
+    capacity: int,
+    max_neighbors: int,
+    grid: tuple,
+):
+    """Multi-chip extrapolation grades: per-shard candidate vectors with halo
+    exchange, then the reference's grade collectives as mesh reductions —
+    `psum` of summed candidate vectors in configuration mode /
+    `pmax` of per-atom grades in neighborhood mode
+    (MPI_Allreduce SUM/MAX, pair_mtp_extrapolation.cpp:363-382).
+
+    Returns grades_fn(state: ShardedState) -> (max_grade, per_atom_grades)
+    with per-atom grades sharded like the atoms (zero on padding slots;
+    None-equivalent zeros in configuration mode).
+    """
+    if model.inverse_active_set is None:
+        raise ValueError("model has no MVS selection state")
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    sched = model.schedule
+    coeffs = model.coeffs
+    cutoff = model.cutoff
+    inv_a = model.inverse_active_set
+    cfg_mode = model.configuration_mode
+    perm_fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    perm_bwd = [(i, (i - 1) % nd) for i in range(nd)]
+
+    def shard_fn(pos, types, real, cell):
+        from mtp_tpu.al.grades import candidate_vectors
+        from mtp_tpu.ops.moments import basic_moments, contract_dag, readout
+
+        def exch(x):
+            return jnp.concatenate(
+                [x, jax.lax.ppermute(x, axis, perm_fwd),
+                 jax.lax.ppermute(x, axis, perm_bwd)]
+            )
+
+        ext_pos = exch(pos)
+        ext_types = exch(types)
+        ext_real = exch(real)
+        nl = build_neighbor_list(
+            ext_pos, cell, cutoff,
+            max_neighbors=max_neighbors, grid=grid,
+            centers=capacity, real=ext_real,
+            bin_capacity=max(1, int(4.0 * nd * capacity / int(np.prod(grid)))) + 8,
+        )
+        # local candidate vectors over the halo-extended set
+        from mtp_tpu.models.mtp import minimum_image
+
+        inv_cell = jnp.linalg.inv(cell)
+        disp = ext_pos[nl.idx] - ext_pos[:capacity, None, :]
+        disp = minimum_image(disp, cell, inv_cell)
+        d2 = jnp.sum(disp * disp, axis=-1)
+        self_pair = nl.idx == jnp.arange(capacity, dtype=nl.idx.dtype)[:, None]
+        mask = (
+            (d2 <= cutoff**2) & (~self_pair)
+            & ext_real[nl.idx] & ext_real[:capacity, None]
+        )
+        itypes = ext_types[:capacity]
+        jtypes = ext_types[nl.idx]
+
+        mb, aux = basic_moments(sched, coeffs, disp, mask, itypes, jtypes)
+        dtype = mb.dtype
+
+        def site_e_of(mbv):
+            e, _ = readout(sched, coeffs, contract_dag(sched, mbv), itypes)
+            return jnp.sum(jnp.where(real, e, 0.0))
+
+        gamma = jax.grad(site_e_of)(mb)
+        _, basis_members = readout(sched, coeffs, contract_dag(sched, mb), itypes)
+
+        S = sched.species_count
+        MU = sched.radial_funcs_count
+        RB = sched.radial_basis_size
+        w = jnp.where(mask, jnp.asarray(1.0, dtype), 0.0)
+        jt_onehot = jax.nn.one_hot(jtypes, S, dtype=dtype) * w[..., None]
+        mu_onehot = jnp.asarray(
+            np.eye(MU)[sched.basic[:, 0]], dtype
+        )
+        gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)
+        rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])
+        it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype) * real[:, None].astype(dtype)
+        b = jnp.concatenate(
+            [
+                jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(
+                    capacity, S * S * MU * RB
+                ),
+                it_onehot,
+                basis_members * real[:, None].astype(dtype),
+            ],
+            axis=1,
+        )
+
+        if cfg_mode:
+            bsum = jax.lax.psum(jnp.sum(b, axis=0), axis)
+            natoms = jax.lax.psum(jnp.sum(real), axis)
+            g = jnp.max(jnp.abs(inv_a.astype(dtype) @ bsum)) / jnp.maximum(natoms, 1)
+            return g, jnp.zeros((capacity,), dtype), nl.overflow
+        grades = jnp.max(jnp.abs(b @ inv_a.astype(dtype).T), axis=-1)
+        grades = jnp.where(real, grades, 0.0)
+        gmax = jax.lax.pmax(jnp.max(grades), axis)
+        return gmax, grades, jax.lax.pmax(nl.overflow, axis)
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(axis), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def grades_fn(state: ShardedState):
+        return sharded(state.positions, state.types, state.real, state.cell)
+
+    return grades_fn
+
+
 def compute_sharded_forces(model: MTPModel, mesh: Mesh, *, capacity, max_neighbors, grid, skin=0.0):
     """One-shot sharded force/energy evaluation (for tests and AL hooks)."""
     blk = make_sharded_md_block(

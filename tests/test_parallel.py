@@ -170,3 +170,58 @@ def test_partition_rejects_thin_slabs(wide_system):
         partition_slabs(
             pos, np.zeros_like(pos), types, masses, cell, 32, cutoff=model.cutoff
         )
+
+
+def test_sharded_grades_match_single_chip(wide_system, rng):
+    """Multi-chip grade collectives (pmax/psum) vs single-chip AL grades."""
+    from mtp_tpu.al.grades import candidate_vectors, cfg_grade, nbh_grades
+    from mtp_tpu.al.maxvol import build_mvs
+    from mtp_tpu.io.mtp_file import dumps_mtp, loads_mtp
+    from mtp_tpu.parallel.sharded_md import make_sharded_grades
+
+    model, pos, types, masses, cell = wide_system
+
+    # build an MVS state from a small pool
+    rows = []
+    for s in (0.02, 0.08):
+        p = pos + rng.normal(scale=s, size=pos.shape)
+        nl = build_neighbor_list_bruteforce(
+            jnp.asarray(p), jnp.asarray(cell), model.cutoff, max_neighbors=48
+        )
+        b, _ = candidate_vectors(
+            model.schedule, model.coeffs, jnp.asarray(p),
+            jnp.asarray(types, jnp.int32), nl.idx, jnp.asarray(cell),
+        )
+        rows.append(np.asarray(b))
+    import mtp_tpu.models.mtp as mtp_mod
+
+    mvs = build_mvs(np.concatenate(rows, 0), mode="neighborhood")
+    model_al = dataclasses.replace(
+        model,
+        inverse_active_set=jnp.asarray(mvs.inverse_active_set, jnp.float64),
+        configuration_mode=False,
+    )
+
+    # single-chip reference grades
+    nl = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), jnp.asarray(cell), model.cutoff, max_neighbors=48
+    )
+    b, _ = candidate_vectors(
+        model_al.schedule, model_al.coeffs, jnp.asarray(pos),
+        jnp.asarray(types, jnp.int32), nl.idx, jnp.asarray(cell),
+    )
+    ref = np.asarray(nbh_grades(b, model_al.inverse_active_set))
+
+    # sharded
+    from mtp_tpu.ops.neighbors import grid_shape
+
+    mesh, part, sstate = _sharded_setup(model_al, pos, types, masses, cell)
+    grades_fn = make_sharded_grades(
+        model_al, mesh, capacity=part.capacity, max_neighbors=48,
+        grid=grid_shape(cell, model.cutoff),
+    )
+    gmax, grades, overflow = grades_fn(sstate)
+    assert not bool(overflow)
+    assert float(gmax) == pytest.approx(ref.max(), rel=1e-8)
+    gathered = part.gather(np.asarray(grades), len(pos))
+    np.testing.assert_allclose(gathered, ref, rtol=1e-8)
