@@ -162,6 +162,26 @@ def main():
     _jsonline(config="160k-atom level-16 NVE (per-chip shard scale)", atoms=n,
               atom_steps_per_s=round(v, 1))
 
+    # 6. million-atom box on ONE chip (BASELINE config 5's per-slice shard;
+    # multi-chip scaling validated separately on the virtual mesh)
+    pos, types, cell = make_lattice("fcc", 4.0, (63, 63, 63))  # 1,000,188
+    n = len(pos)
+    state = thermalize(
+        jax.random.PRNGKey(4),
+        init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
+        300.0,
+    )
+    sim = Simulation(model16, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+                     compute_virial=False)
+    state, _, ovf = sim.run_async(state, 20, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    t0 = time.perf_counter()
+    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions))
+    v = n * 40 / (time.perf_counter() - t0)
+    _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
+              atom_steps_per_s=round(v, 1))
+
 
 if __name__ == "__main__":
     main()
