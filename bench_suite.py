@@ -22,7 +22,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from mtp_tpu.al.driver import ExtrapolationMonitor
     from mtp_tpu.al.grades import candidate_vectors, nbh_grades
     from mtp_tpu.al.maxvol import build_mvs
     from mtp_tpu.io.basis_gen import make_mtp

@@ -39,7 +39,6 @@ dependency order, and rows are sorted by output node, which preserves the
 
 from __future__ import annotations
 
-import itertools
 import math
 from typing import Dict, List, Tuple
 

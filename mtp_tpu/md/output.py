@@ -10,7 +10,7 @@ equivalents.
 
 from __future__ import annotations
 
-import dataclasses
+
 import pickle
 from typing import IO, Optional, Sequence
 

@@ -21,7 +21,7 @@ Math (same function as pair_mtp.cpp:154-192, reformulated in unit vectors):
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ all neighbors.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -277,7 +276,6 @@ def make_sharded_grades(
     perm_bwd = [(i, (i - 1) % nd) for i in range(nd)]
 
     def shard_fn(pos, types, real, cell):
-        from mtp_tpu.al.grades import candidate_vectors
         from mtp_tpu.ops.moments import basic_moments, contract_dag, readout
 
         def exch(x):
