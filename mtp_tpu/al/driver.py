@@ -26,7 +26,7 @@ from mtp_tpu.io.cfg_file import CfgWriter
 from mtp_tpu.md.simulation import Simulation
 from mtp_tpu.md.state import MDState
 from mtp_tpu.models.mtp import MTPModel
-from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+from mtp_tpu.ops.neighbors import build_neighbor_list, check_cell, grid_shape
 
 
 class BreakThresholdExceeded(RuntimeError):
@@ -76,14 +76,23 @@ class ExtrapolationMonitor:
         """Compute grades for the current configuration; apply thresholds."""
         model = self.model
         cutoff = model.cutoff
-        grid = grid_shape(np.asarray(jax.device_get(state.cell)), cutoff)
-        nl = build_neighbor_list(
-            state.positions,
-            state.cell,
-            cutoff,
-            max_neighbors=self.max_neighbors,
-            grid=grid,
-        )
+        cell_h = np.asarray(jax.device_get(state.cell))
+        check_cell(cell_h, cutoff)
+        grid = grid_shape(cell_h, cutoff)
+        # a truncated neighbor list would silently UNDERESTIMATE grades —
+        # the one failure mode this subsystem exists to prevent — so grow
+        # the capacity until the build fits
+        while True:
+            nl = build_neighbor_list(
+                state.positions,
+                state.cell,
+                cutoff,
+                max_neighbors=self.max_neighbors,
+                grid=grid,
+            )
+            if not bool(nl.overflow):
+                break
+            self.max_neighbors = int(self.max_neighbors * 1.5) + 8
         b, _ = candidate_vectors(
             model.schedule,
             model.coeffs,

@@ -108,44 +108,72 @@ def nhc_init(dtype=jnp.float32) -> NHCAux:
     return NHCAux(xi=jnp.zeros(2, dtype), eta=jnp.zeros(2, dtype))
 
 
-def _nhc_half(state: MDState, aux: NHCAux, dt, temperature, tdamp):
-    """Half-step (dt/2 total) of a 2-chain Nose-Hoover thermostat.
+def _nhc_chain_half(ke2, ndof_t, xi, eta, dt, kt, q1, q2):
+    """Half-step (dt/2 total) of a generic 2-link Nose-Hoover chain acting on
+    a subsystem with twice-kinetic-energy `ke2` and `ndof_t` degrees of
+    freedom. Returns (velocity scale, xi, eta).
 
-    Standard MTK operator splitting: update chain-2, damp+drive chain-1,
-    scale particle velocities by exp(-xi1*dt/2), then mirror the chain
-    updates. `xi` are thermostat velocities, `eta` their positions (used in
-    the conserved quantity).
+    Standard MTK operator splitting: update link-2, damp+drive link-1, emit
+    the subsystem velocity scale exp(-xi1*dt/2), then mirror the link
+    updates. `xi` are chain velocities, `eta` their positions (needed only
+    for the conserved quantity).
     """
-    n = state.n_atoms
-    ndof = 3 * n
-    kt = units.KB * temperature
-    q1 = ndof * kt * tdamp**2
-    q2 = kt * tdamp**2
     dt2, dt4, dt8 = 0.5 * dt, 0.25 * dt, 0.125 * dt
-
-    ke2 = 2.0 * kinetic_energy(state)
-    xi, eta = aux.xi, aux.eta
 
     g2 = (q1 * xi[0] ** 2 - kt) / q2
     xi = xi.at[1].add(g2 * dt4)
     xi = xi.at[0].multiply(jnp.exp(-xi[1] * dt8))
-    g1 = (ke2 - ndof * kt) / q1
+    g1 = (ke2 - ndof_t * kt) / q1
     xi = xi.at[0].add(g1 * dt4)
     xi = xi.at[0].multiply(jnp.exp(-xi[1] * dt8))
 
     scale = jnp.exp(-xi[0] * dt2)
-    v = state.velocities * scale
     ke2 = ke2 * scale**2
     eta = eta + dt2 * xi
 
     xi = xi.at[0].multiply(jnp.exp(-xi[1] * dt8))
-    g1 = (ke2 - ndof * kt) / q1
+    g1 = (ke2 - ndof_t * kt) / q1
     xi = xi.at[0].add(g1 * dt4)
     xi = xi.at[0].multiply(jnp.exp(-xi[1] * dt8))
     g2 = (q1 * xi[0] ** 2 - kt) / q2
     xi = xi.at[1].add(g2 * dt4)
 
-    return dataclasses.replace(state, velocities=v), NHCAux(xi=xi, eta=eta)
+    return scale, xi, eta
+
+
+def _nhc_half(state: MDState, aux: NHCAux, dt, temperature, tdamp):
+    """Particle-thermostat half-step: 2-link NHC over the atomic KE."""
+    ndof = 3 * state.n_atoms
+    kt = units.KB * temperature
+    scale, xi, eta = _nhc_chain_half(
+        2.0 * kinetic_energy(state),
+        ndof,
+        aux.xi,
+        aux.eta,
+        dt,
+        kt,
+        q1=ndof * kt * tdamp**2,
+        q2=kt * tdamp**2,
+    )
+    return (
+        dataclasses.replace(state, velocities=state.velocities * scale),
+        NHCAux(xi=xi, eta=eta),
+    )
+
+
+def nvt_conserved(state: MDState, aux: NHCAux, temperature: float, tdamp: float):
+    """NHC-NVT conserved quantity H' = KE + PE + chain terms [eV]."""
+    ndof = 3 * state.n_atoms
+    kt = units.KB * temperature
+    q1 = ndof * kt * tdamp**2
+    q2 = kt * tdamp**2
+    chain = (
+        0.5 * q1 * aux.xi[0] ** 2
+        + 0.5 * q2 * aux.xi[1] ** 2
+        + ndof * kt * aux.eta[0]
+        + kt * aux.eta[1]
+    )
+    return kinetic_energy(state) + state.potential_energy + chain
 
 
 def nvt_step(
@@ -167,12 +195,24 @@ def nvt_step(
 
 
 class NPTAux(NamedTuple):
-    thermo: NHCAux
-    baro_v: jax.Array  # () cell strain-rate variable (isotropic)
+    thermo: NHCAux  # particle thermostat chain
+    baro_thermo: NHCAux  # barostat thermostat chain (its own 2-link NHC)
+    baro_v: jax.Array  # () cell strain rate epsilon_dot = p_eps / W (isotropic)
 
 
 def npt_init(dtype=jnp.float32) -> NPTAux:
-    return NPTAux(thermo=nhc_init(dtype), baro_v=jnp.zeros((), dtype))
+    return NPTAux(
+        thermo=nhc_init(dtype),
+        baro_thermo=nhc_init(dtype),
+        baro_v=jnp.zeros((), dtype),
+    )
+
+
+def _npt_masses(ndof, kt, tdamp, pdamp):
+    """(W, Qb1, Qb2): barostat mass + barostat-chain masses (LAMMPS fix nh
+    conventions: W = (ndof+3) kT pdamp^2, etap masses kT pdamp^2)."""
+    w = (ndof + 3) * kt * pdamp**2
+    return w, kt * pdamp**2, kt * pdamp**2
 
 
 def npt_step(
@@ -187,51 +227,110 @@ def npt_step(
 ):
     """Isotropic Martyna-Tobias-Klein NPT step.
 
-    `pressure` in bar. The cell is scaled isotropically; the barostat momentum
-    is thermostatted by the same NHC chain (simplified single-chain coupling).
+    `pressure` in bar. The cell is scaled isotropically. Trotter splitting
+    follows LAMMPS `fix nh`: particle NHC -> barostat NHC (damps the barostat
+    momentum) -> barostat force half-step -> barostat velocity coupling ->
+    NVE core with cell-scaled drift -> mirrored closing half-steps. The
+    barostat momentum p_eps is thermostatted by its OWN 2-link NHC at the
+    same temperature (the MTK ensemble requirement).
     """
     n = state.n_atoms
     ndof = 3 * n
     kt = units.KB * temperature
     p_ext = pressure / units.EVA3_TO_BAR  # eV/A^3
-    w = (ndof + 3) * kt * pdamp**2  # barostat mass
+    w, qb1, qb2 = _npt_masses(ndof, kt, tdamp, pdamp)
 
-    def baro_half(state, aux):
+    def baro_chain_half(aux):
+        ke2 = w * aux.baro_v**2  # p_eps^2 / W
+        scale, xi, eta = _nhc_chain_half(
+            ke2, 1, aux.baro_thermo.xi, aux.baro_thermo.eta, dt, kt, qb1, qb2
+        )
+        return NPTAux(
+            thermo=aux.thermo,
+            baro_thermo=NHCAux(xi=xi, eta=eta),
+            baro_v=aux.baro_v * scale,
+        )
+
+    def omega_dot_half(state, aux):
+        """p_eps += dt/2 * G_eps, with the MTK (d/ndof)*2KE correction."""
         vol = volume_of(state)
         w_tr = state.virial[0] + state.virial[1] + state.virial[2]
         ke2 = 2.0 * kinetic_energy(state)
         p_int = (ke2 + w_tr) / (3.0 * vol)
         g = (3.0 * vol * (p_int - p_ext) + (3.0 / ndof) * ke2) / w
-        baro_v = aux.baro_v + 0.25 * dt * g  # quarter? use half below
-        baro_v = baro_v + 0.25 * dt * g
-        return NPTAux(thermo=aux.thermo, baro_v=baro_v)
+        return aux._replace(baro_v=aux.baro_v + 0.5 * dt * g)
 
-    # thermostat half
+    def v_press_half(state, aux):
+        alpha = jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * aux.baro_v)
+        return dataclasses.replace(state, velocities=state.velocities * alpha)
+
+    # opening half: thermostats, barostat force, barostat-velocity coupling
     state, thermo = _nhc_half(state, aux.thermo, dt, temperature, tdamp)
-    aux = NPTAux(thermo=thermo, baro_v=aux.baro_v)
-    # barostat half
-    aux = baro_half(state, aux)
-
-    # velocity scaling from barostat coupling + half kick
-    alpha = jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * aux.baro_v)
-    state = dataclasses.replace(state, velocities=state.velocities * alpha)
+    aux = aux._replace(thermo=thermo)
+    aux = baro_chain_half(aux)
+    aux = omega_dot_half(state, aux)
+    state = v_press_half(state, aux)
     state = _half_kick(state, dt)
 
-    # drift with cell scaling
-    s = jnp.exp(dt * aux.baro_v)
+    # drift with cell scaling: r' = r e^{x} + dt v e^{x/2} sinh(x/2)/(x/2),
+    # x = dt*eps_dot (the exact MTK position map, series-expanded)
+    x = dt * aux.baro_v
+    s = jnp.exp(x)
+    x2 = (0.5 * x) ** 2
+    sinh_ratio = 1.0 + x2 / 6.0 + x2**2 / 120.0
     state = dataclasses.replace(
         state,
-        positions=state.positions * s + dt * state.velocities,
+        positions=state.positions * s
+        + dt * state.velocities * jnp.exp(0.5 * x) * sinh_ratio,
         cell=state.cell * s,
     )
 
     state = _with_forces(state, force_fn)
-    state = _half_kick(state, dt)
-    alpha = jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * aux.baro_v)
-    state = dataclasses.replace(
-        state, velocities=state.velocities * alpha, step=state.step + 1
-    )
 
-    aux = baro_half(state, aux)
+    # closing half (mirror order)
+    state = _half_kick(state, dt)
+    state = v_press_half(state, aux)
+    aux = omega_dot_half(state, aux)
+    aux = baro_chain_half(aux)
     state, thermo = _nhc_half(state, aux.thermo, dt, temperature, tdamp)
-    return state, NPTAux(thermo=thermo, baro_v=aux.baro_v)
+    state = dataclasses.replace(state, step=state.step + 1)
+    return state, aux._replace(thermo=thermo)
+
+
+def npt_conserved(
+    state: MDState,
+    aux: NPTAux,
+    temperature: float,
+    pressure: float,
+    tdamp: float,
+    pdamp: float,
+):
+    """MTK conserved quantity H' = KE + PE + W eps_dot^2/2 + P_ext V
+    + particle-chain terms + barostat-chain terms [eV]."""
+    ndof = 3 * state.n_atoms
+    kt = units.KB * temperature
+    p_ext = pressure / units.EVA3_TO_BAR
+    w, qb1, qb2 = _npt_masses(ndof, kt, tdamp, pdamp)
+    q1 = ndof * kt * tdamp**2
+    q2 = kt * tdamp**2
+    t = aux.thermo
+    b = aux.baro_thermo
+    chain = (
+        0.5 * q1 * t.xi[0] ** 2
+        + 0.5 * q2 * t.xi[1] ** 2
+        + ndof * kt * t.eta[0]
+        + kt * t.eta[1]
+    )
+    baro_chain = (
+        0.5 * qb1 * b.xi[0] ** 2
+        + 0.5 * qb2 * b.xi[1] ** 2
+        + kt * (b.eta[0] + b.eta[1])
+    )
+    return (
+        kinetic_energy(state)
+        + state.potential_energy
+        + 0.5 * w * aux.baro_v**2
+        + p_ext * volume_of(state)
+        + chain
+        + baro_chain
+    )

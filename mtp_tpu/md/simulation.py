@@ -25,7 +25,7 @@ import numpy as np
 from mtp_tpu.md import integrators as itg
 from mtp_tpu.md.state import MDState
 from mtp_tpu.models.mtp import MTPModel, mtp_energy_forces
-from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+from mtp_tpu.ops.neighbors import build_neighbor_list, check_cell, grid_shape
 
 
 @dataclasses.dataclass(eq=False)
@@ -254,8 +254,10 @@ class Simulation:
         """
         if aux is None:
             aux = _default_aux(ensemble, state)
+        cell_h = np.asarray(jax.device_get(state.cell))
+        check_cell(cell_h, self.model.cutoff + self.skin)
         grid = grid_shape(
-            np.asarray(jax.device_get(state.cell)),
+            cell_h,
             (self.model.cutoff + self.skin) * self.grid_margin,
         )
         kw = dict(
@@ -363,6 +365,9 @@ class Simulation:
         """
         if aux is None:
             aux = _default_aux(ensemble, state)
+        check_cell(
+            np.asarray(jax.device_get(state.cell)), self.model.cutoff + self.skin
+        )
         done = 0
         while done < n_steps:
             k = min(self.steps_per_rebuild, n_steps - done)

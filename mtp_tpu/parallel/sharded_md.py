@@ -104,21 +104,34 @@ def make_sharded_md_block(
     sched = model.schedule
     coeffs = model.coeffs
     cutoff = model.cutoff
+    # Ghost slabs by ring size: nd>=3 needs both neighbors; on a 2-device
+    # mesh left and right are the SAME slab (one deduplicated copy — two
+    # copies would double-count every cross-slab pair); one device has no
+    # ghosts at all (minimum image covers the box, like single-chip).
     perm_fwd = [(i, (i + 1) % nd) for i in range(nd)]  # send right
     perm_bwd = [(i, (i - 1) % nd) for i in range(nd)]  # send left
+    ghost_perms = [perm_fwd, perm_bwd] if nd >= 3 else ([perm_fwd] if nd == 2 else [])
+    n_ghost = len(ghost_perms)
 
     def exchange_positions(pos):
-        """own (C,3) -> extended (3C,3): [own, left-slab, right-slab]."""
-        from_left = jax.lax.ppermute(pos, axis, perm_fwd)
-        from_right = jax.lax.ppermute(pos, axis, perm_bwd)
-        return jnp.concatenate([pos, from_left, from_right], axis=0)
+        """own (C,3) -> extended ((1+n_ghost)C, 3): [own, ghost slabs...]."""
+        if not ghost_perms:
+            return pos
+        return jnp.concatenate(
+            [pos] + [jax.lax.ppermute(pos, axis, p) for p in ghost_perms], axis=0
+        )
 
     def giveback_forces(f_ext):
         """Return ghost-slot gradient contributions to their owners and add."""
         C = capacity
-        to_left = jax.lax.ppermute(f_ext[C : 2 * C], axis, perm_bwd)
-        to_right = jax.lax.ppermute(f_ext[2 * C :], axis, perm_fwd)
-        return f_ext[:C] + to_left + to_right
+        out = f_ext[:C]
+        # ghost block k arrived via ghost_perms[k]; send its gradient back
+        # along the inverse permutation (for nd==2 fwd == bwd)
+        inv = {id(perm_fwd): perm_bwd, id(perm_bwd): perm_fwd}
+        for k, p in enumerate(ghost_perms):
+            blk = f_ext[(k + 1) * C : (k + 2) * C]
+            out = out + jax.lax.ppermute(blk, axis, inv[id(p)])
+        return out
 
     def compute_forces(pos, ext_types, ext_real, nbr_idx, cell):
         """Forces on own atoms + (energy, virial) shard contributions."""
@@ -167,18 +180,12 @@ def make_sharded_md_block(
     def block_shard(pos, vel, f, types, masses, real, cell):
         # --- neighbor rebuild on the halo-extended set ---
         ext_pos = exchange_positions(pos)
-        ext_types = jnp.concatenate(
-            [types, jax.lax.ppermute(types, axis, perm_fwd),
-             jax.lax.ppermute(types, axis, perm_bwd)]
-        )
-        ext_real = jnp.concatenate(
-            [real, jax.lax.ppermute(real, axis, perm_fwd),
-             jax.lax.ppermute(real, axis, perm_bwd)]
-        )
-        # atoms occupy ~3/nd of the box's bins inside a shard, so scale the
-        # per-bin capacity estimate accordingly
+        ext_types = exchange_positions(types)
+        ext_real = exchange_positions(real)
+        # atoms occupy ~(1+n_ghost)/nd of the box's bins inside a shard, so
+        # scale the per-bin capacity estimate accordingly
         ncells = int(np.prod(grid))
-        bin_cap = max(1, int(np.ceil(4.0 * nd * 3 * capacity / (3 * ncells)))) + 8
+        bin_cap = max(1, int(np.ceil(4.0 * nd * capacity / ncells))) + 8
         nl = build_neighbor_list(
             ext_pos,
             cell,
@@ -274,14 +281,17 @@ def make_sharded_grades(
     cfg_mode = model.configuration_mode
     perm_fwd = [(i, (i + 1) % nd) for i in range(nd)]
     perm_bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    # same nd<=2 dedup as make_sharded_md_block
+    ghost_perms = [perm_fwd, perm_bwd] if nd >= 3 else ([perm_fwd] if nd == 2 else [])
 
     def shard_fn(pos, types, real, cell):
         from mtp_tpu.ops.moments import basic_moments, contract_dag, readout
 
         def exch(x):
+            if not ghost_perms:
+                return x
             return jnp.concatenate(
-                [x, jax.lax.ppermute(x, axis, perm_fwd),
-                 jax.lax.ppermute(x, axis, perm_bwd)]
+                [x] + [jax.lax.ppermute(x, axis, p) for p in ghost_perms]
             )
 
         ext_pos = exch(pos)

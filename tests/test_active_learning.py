@@ -215,3 +215,21 @@ def test_configuration_mode_monitor(mtp_level8, rng, tmp_path):
         assert mon.nbh_grades is None  # per-atom grades unavailable in cfg mode
     finally:
         m.mvs = None
+
+
+def test_monitor_regrows_on_neighbor_overflow(mtp_level8, rng):
+    """A dense configuration must not silently truncate neighborhoods: the
+    monitor regrows max_neighbors until the build fits (round-1 ADVICE hole:
+    truncated lists UNDERESTIMATE grades)."""
+    m = _with_realistic_mvs(mtp_level8, rng)
+    try:
+        model = MTPModel.from_data(m, dtype=jnp.float64)
+        _, state = _al_system(m, rng)
+        mon_small = ExtrapolationMonitor(model, max_neighbors=4)
+        g_small = mon_small.evaluate(state)
+        assert mon_small.max_neighbors > 4  # regrew
+        mon_big = ExtrapolationMonitor(model, max_neighbors=64)
+        g_big = mon_big.evaluate(state)
+        assert g_small == pytest.approx(g_big, rel=1e-9)
+    finally:
+        m.mvs = None

@@ -37,15 +37,15 @@ def wide_system(mtp_level8):
 N_SHARDS = 4
 
 
-def _sharded_setup(model, pos, types, masses, cell, vel=None, skin=0.0):
-    mesh = make_mesh(N_SHARDS)
+def _sharded_setup(model, pos, types, masses, cell, vel=None, skin=0.0, n_shards=N_SHARDS):
+    mesh = make_mesh(n_shards)
     part = partition_slabs(
         pos,
         vel if vel is not None else np.zeros_like(pos),
         types,
         masses,
         cell,
-        N_SHARDS,
+        n_shards,
         cutoff=model.cutoff + skin,
     )
     state = ShardedState.from_partition(part, cell, mesh, dtype=jnp.float64)
@@ -162,6 +162,40 @@ def test_sharded_matches_single_chip_trajectory(wide_system):
     np.testing.assert_allclose(
         pos_gathered, np.asarray(ref.positions), atol=1e-9
     )
+
+
+@pytest.mark.parametrize("nd", [1, 2])
+def test_sharded_forces_small_mesh(wide_system, nd):
+    """nd<=2 meshes: left and right ghost slabs coincide (nd==2) or are the
+    own slab (nd==1); a duplicated copy double-counts every cross-slab pair
+    (round-1 bug: 2-shard PE -183.6 vs single-chip -165.1)."""
+    model, pos, types, masses, cell = wide_system
+    mesh, part, sstate = _sharded_setup(
+        model, pos, types, masses, cell, n_shards=nd
+    )
+    grid = grid_shape(cell, model.cutoff)
+    fn = compute_sharded_forces(
+        model, mesh, capacity=part.capacity, max_neighbors=48, grid=grid
+    )
+    out, overflow = fn(sstate)
+    assert not bool(overflow)
+
+    nl = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), jnp.asarray(cell), model.cutoff, max_neighbors=48
+    )
+    ref = mtp_energy_forces(
+        model.schedule,
+        model.coeffs,
+        jnp.asarray(pos),
+        jnp.asarray(types, jnp.int32),
+        nl.idx,
+        jnp.asarray(cell),
+    )
+    assert float(out.potential_energy) == pytest.approx(
+        float(ref["energy"]), abs=1e-9
+    )
+    f_gathered = part.gather(np.asarray(out.forces), len(pos))
+    np.testing.assert_allclose(f_gathered, np.asarray(ref["forces"]), atol=1e-10)
 
 
 def test_partition_rejects_thin_slabs(wide_system):
