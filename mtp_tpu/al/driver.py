@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mtp_tpu.al.grades import candidate_vectors, cfg_grade, nbh_grades
+from mtp_tpu.al.grades import candidates_and_forces, cfg_grade, nbh_grades
 from mtp_tpu.io.cfg_file import CfgWriter
 from mtp_tpu.md.simulation import Simulation
 from mtp_tpu.md.state import MDState
@@ -72,8 +72,16 @@ class ExtrapolationMonitor:
     def mlip3_style(self) -> bool:
         return self.select_threshold is not None
 
-    def evaluate(self, state: MDState) -> float:
-        """Compute grades for the current configuration; apply thresholds."""
+    def evaluate(self, state: MDState, *, refresh_forces: bool = False):
+        """Compute grades for the current configuration; apply thresholds.
+
+        The forward pass is SHARED between forces and candidate vectors
+        (candidates_and_forces — the reference's grade-step fusion,
+        ComputeAlphaBasicRad pair_mtp_extrapolation_kokkos.cpp:780-907).
+        With ``refresh_forces=True`` returns ``(grade, state)`` with
+        forces/energy refreshed from that same pass, so a driver pays ~one
+        evaluation per grade step instead of two.
+        """
         model = self.model
         cutoff = model.cutoff
         cell_h = np.asarray(jax.device_get(state.cell))
@@ -89,18 +97,21 @@ class ExtrapolationMonitor:
                 cutoff,
                 max_neighbors=self.max_neighbors,
                 grid=grid,
+                with_reverse=True,
             )
             if not bool(nl.overflow):
                 break
             self.max_neighbors = int(self.max_neighbors * 1.5) + 8
-        b, _ = candidate_vectors(
+        out = candidates_and_forces(
             model.schedule,
             model.coeffs,
             state.positions,
             state.types,
             nl.idx,
             state.cell,
+            nl.mirror,
         )
+        b = out["b"]
         if model.configuration_mode:
             g = float(cfg_grade(b, model.inverse_active_set, state.n_atoms))
             self.nbh_grades = None
@@ -112,6 +123,13 @@ class ExtrapolationMonitor:
 
         if self.mlip3_style:
             self._apply_thresholds(state)
+        if refresh_forces:
+            new_state = dataclasses.replace(
+                state,
+                forces=out["forces"],
+                potential_energy=out["energy"],
+            )
+            return g, new_state
         return g
 
     def _apply_thresholds(self, state: MDState):
@@ -137,6 +155,101 @@ class ExtrapolationMonitor:
             self._writer.close()
 
 
+@dataclasses.dataclass(eq=False)
+class ShardedExtrapolationMonitor:
+    """Multi-chip extrapolation monitor: grade collectives over the mesh,
+    ordered gather to the host for the preselected stream.
+
+    The TPU-native analog of the reference's MPI grade pipeline
+    (compile_grades MPI_Allreduce + MPI_Scan global ids + rank-0 Send/Recv
+    funnel into write_config, pair_mtp_extrapolation.cpp:363-479): `psum`/
+    `pmax` over the mesh inside `make_sharded_grades`, then an id-ordered
+    host gather feeds the same CfgWriter with the flush-before-break
+    contract.
+    """
+
+    model: MTPModel
+    mesh: object
+    capacity: int
+    grid: tuple
+    n_atoms: int
+    max_neighbors: int = 64
+    halo_capacity: Optional[int] = None
+    select_threshold: Optional[float] = None
+    break_threshold: Optional[float] = None
+    output_path: Optional[str] = None
+
+    max_grade: float = 0.0
+    nbh_grades: Optional[np.ndarray] = None
+    _writer: Optional[CfgWriter] = None
+    _grades_fn: object = None
+
+    def __post_init__(self):
+        if self.model.inverse_active_set is None:
+            raise ValueError("model has no MVS selection state")
+        if self.output_path is not None:
+            self._writer = CfgWriter(self.output_path)
+        self._build_fn()
+
+    def _build_fn(self):
+        from mtp_tpu.parallel.sharded_md import make_sharded_grades
+
+        self._grades_fn = make_sharded_grades(
+            self.model,
+            self.mesh,
+            capacity=self.capacity,
+            max_neighbors=self.max_neighbors,
+            grid=self.grid,
+            halo_capacity=self.halo_capacity,
+        )
+
+    @property
+    def mlip3_style(self) -> bool:
+        return self.select_threshold is not None
+
+    def evaluate(self, sstate) -> float:
+        """Grades for a ShardedState; thresholds as in the single-chip
+        monitor. Regrows neighbor capacity on overflow (wrong grades are
+        the one unacceptable failure mode here)."""
+        while True:
+            gmax, grades, flags = self._grades_fn(sstate)
+            if not bool(flags):
+                break
+            self.max_neighbors = int(self.max_neighbors * 1.5) + 8
+            self.halo_capacity = self.capacity  # max out the shell too
+            self._build_fn()
+        g = float(gmax)
+        self.max_grade = g
+        if self.model.configuration_mode:
+            self.nbh_grades = None
+        else:
+            self.nbh_grades = sstate.gather(grades, self.n_atoms)
+        if self.mlip3_style:
+            self._apply_thresholds(sstate)
+        return g
+
+    def _apply_thresholds(self, sstate):
+        if self._writer is not None and self.max_grade >= self.select_threshold:
+            self._writer.write(
+                np.asarray(jax.device_get(sstate.cell)),
+                sstate.gather(sstate.positions, self.n_atoms),
+                sstate.gather(sstate.types, self.n_atoms),
+                grades=self.nbh_grades,
+                max_grade=self.max_grade,
+            )
+        if (
+            self.break_threshold is not None
+            and self.max_grade >= self.break_threshold
+        ):
+            if self._writer is not None:
+                self._writer.close()
+            raise BreakThresholdExceeded(self.max_grade)
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
 def run_with_extrapolation(
     sim: Simulation,
     monitor: ExtrapolationMonitor,
@@ -150,17 +263,22 @@ def run_with_extrapolation(
     """MD with periodic grade evaluation (the `fix pair N ... extrapolation 1`
     pattern, reference README.md:70-76).
 
+    Each grade evaluation SHARES its forward pass with the force refresh
+    (candidates_and_forces), so the next MD block starts from the forces the
+    grade step already computed — the reference's grade-step fusion economics
+    (one pass per grade step, pair_mtp_extrapolation_kokkos.cpp:780-907).
+
     Returns the final state; raises :class:`BreakThresholdExceeded` in MLIP-3
     style when the break threshold is hit (stream flushed first).
     """
     done = 0
     aux = None
-    monitor.evaluate(state)
+    _, state = monitor.evaluate(state, refresh_forces=True)
     while done < n_steps:
         k = min(al_every, n_steps - done)
-        state, aux = sim.run(state, k, aux=aux, **run_kwargs)
+        state, aux = sim.run(state, k, aux=aux, refresh=False, **run_kwargs)
         done += k
-        monitor.evaluate(state)
+        _, state = monitor.evaluate(state, refresh_forces=True)
         if observer is not None:
             observer(state, monitor)
     return state

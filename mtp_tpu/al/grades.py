@@ -88,6 +88,84 @@ def candidate_vectors(sched: MTPSchedule, coeffs, positions, types, nbr_idx, cel
     return b, site_e
 
 
+@partial(jax.jit, static_argnames=("sched",))
+def candidates_and_forces(
+    sched: MTPSchedule, coeffs, positions, types, nbr_idx, cell=None, nbr_mirror=None
+):
+    """Fused grade-step evaluation: ONE shared forward pass yields both the
+    MD forces and the per-atom candidate vectors.
+
+    The reference fuses the radial Jacobian into the alpha-basic kernel on
+    grade steps so active learning costs ~one pass instead of two
+    (ComputeAlphaBasicRad, pair_mtp_extrapolation_kokkos.cpp:780-907). Here
+    the shared intermediates are the basic moments + Chebyshev/unit-vector
+    tables: gamma = dE/d(moments) drives BOTH the force backward pass
+    (chain rule through the moments) and the radial block of the candidate
+    vectors.
+
+    Returns dict(b, site_energies, energy, forces).
+    """
+    import numpy as np
+
+    from mtp_tpu.models.mtp import _gather_rows3
+
+    n = positions.shape[0]
+    inv_cell = jnp.linalg.inv(cell) if cell is not None else None
+    disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
+    d2 = jnp.sum(disp * disp, axis=-1)
+    self_pair = nbr_idx == jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
+    mask = (d2 <= sched.max_dist**2) & (~self_pair)
+    itypes = types
+    jtypes = types[nbr_idx]
+
+    # shared forward: moments once, with the aux tables
+    (m_basic, aux), vjp_mb = jax.vjp(
+        lambda d: basic_moments(sched, coeffs, d, mask, itypes, jtypes), disp
+    )
+
+    def site_e_of(mb):
+        e, _ = readout(sched, coeffs, contract_dag(sched, mb), itypes)
+        return jnp.sum(e)
+
+    gamma = jax.grad(site_e_of)(m_basic)  # (N, B) = dE/d(basic moments)
+    site_e, basis_members = readout(
+        sched, coeffs, contract_dag(sched, m_basic), itypes
+    )
+
+    # forces: chain gamma through the moments' dependence on displacements
+    (pair_t,) = vjp_mb((gamma, jax.tree_util.tree_map(jnp.zeros_like, aux)))
+    pair_t = pair_t * mask[..., None].astype(pair_t.dtype)
+    if nbr_mirror is not None:
+        flat = pair_t.reshape(-1, 3)
+        t_ji = _gather_rows3(flat, nbr_mirror).reshape(pair_t.shape)
+        t_ji = t_ji * mask[..., None].astype(pair_t.dtype)
+        forces = jnp.sum(pair_t - t_ji, axis=1)
+    else:
+        forces = jnp.sum(pair_t, axis=1)
+        forces = forces.at[nbr_idx.reshape(-1)].add(-pair_t.reshape(-1, 3))
+
+    # candidate vectors from the SAME gamma + aux tables
+    dtype = m_basic.dtype
+    S = sched.species_count
+    MU = sched.radial_funcs_count
+    RB = sched.radial_basis_size
+    w = jnp.where(mask, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+    jt_onehot = jax.nn.one_hot(jtypes, S, dtype=dtype) * w[..., None]
+    mu_onehot = jnp.asarray(np.eye(MU, dtype=np.float64)[sched.basic[:, 0]], dtype)
+    gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)
+    rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])
+    it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype)
+    b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(n, S * S * MU * RB)
+    b = jnp.concatenate([b_rad, it_onehot, basis_members], axis=1)
+
+    return dict(
+        b=b,
+        site_energies=site_e,
+        energy=jnp.sum(site_e),
+        forces=forces,
+    )
+
+
 @jax.jit
 def nbh_grades(b, inverse_active_set):
     """Neighborhood-mode grades: gamma_i = max_l |(invA @ b_i)_l|.

@@ -36,6 +36,33 @@ class Config:
     features: dict = dataclasses.field(default_factory=dict)
 
 
+def lammps_lower_triangular(cell):
+    """Rotate a (row-vector) cell into the LAMMPS lower-triangular
+    prd/tilt frame: [[xx,0,0],[xy,yy,0],[xz,yz,zz]].
+
+    Returns (L, R) with ``L = cell @ R`` (R orthonormal); rotate positions by
+    the same R. The reference's cfg writer emits this layout from LAMMPS's
+    domain (pair_mtp_extrapolation.cpp:449-452); MLIP-3 tooling expects it
+    for triclinic cells.
+    """
+    cell = np.asarray(cell, dtype=np.float64)
+    a, b, c = cell
+    ax = np.linalg.norm(a)
+    ah = a / ax
+    bx = b @ ah
+    by = np.sqrt(max(b @ b - bx * bx, 0.0))
+    cx = c @ ah
+    yh = (b - bx * ah) / max(by, 1e-300)
+    cy = c @ yh
+    cz_sq = c @ c - cx * cx - cy * cy
+    cz = np.sqrt(max(cz_sq, 0.0))
+    L = np.array([[ax, 0.0, 0.0], [bx, by, 0.0], [cx, cy, cz]])
+    # R maps the original frame onto (ah, yh, zh)
+    zh = np.cross(ah, yh)
+    R = np.stack([ah, yh, zh], axis=1)  # columns = new basis
+    return L, R
+
+
 def format_cfg(
     cell,
     positions,
@@ -46,9 +73,16 @@ def format_cfg(
     energy: Optional[float] = None,
     forces=None,
 ) -> str:
-    """One BEGIN_CFG block as a string (matching the reference's layout)."""
+    """One BEGIN_CFG block as a string (matching the reference's layout:
+    lower-triangular Supercell with positions/forces rotated into that
+    frame, pair_mtp_extrapolation.cpp:449-452)."""
     cell = np.asarray(cell, dtype=np.float64)
     positions = np.asarray(positions, dtype=np.float64)
+    if abs(cell[0, 1]) + abs(cell[0, 2]) + abs(cell[1, 2]) > 1e-12:
+        cell, R = lammps_lower_triangular(cell)
+        positions = positions @ R
+        if forces is not None:
+            forces = np.asarray(forces, dtype=np.float64) @ R
     n = len(positions)
     out = ["BEGIN_CFG", "Size", f"{n}", "Supercell"]
     for row in cell:

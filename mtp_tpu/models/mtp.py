@@ -151,8 +151,10 @@ def mtp_energy_forces(
     types,
     nbr_idx,
     cell=None,
-    nbr_rev=None,
+    nbr_mirror=None,
     *,
+    jtypes=None,
+    pair_valid=None,
     remat: bool = True,
     compute_vatom: bool = False,
     backend: str = "auto",
@@ -166,6 +168,12 @@ def mtp_energy_forces(
       nbr_idx: (N, J) int32 padded neighbor indices; padding entries must
         equal the row's own atom index (self-pairs are masked out).
       cell: optional (3, 3) row-vector cell for periodic boundaries.
+      jtypes/pair_valid: optional precomputed (N, J) neighbor types and
+        non-self-pair mask. These depend only on (types, nbr_idx), which are
+        fixed for a whole neighbor-list block — but XLA does NOT hoist the
+        (N, J) jtypes gather out of a `lax.scan` (measured ~11 ms/step at
+        32k x 48 on v5e), so callers stepping in a scan must precompute them
+        outside the loop (Simulation does).
       backend: "pallas" (fused TPU kernels; interpreted on CPU), "xla", or
         "auto" (pallas on TPU, xla elsewhere).
 
@@ -177,11 +185,13 @@ def mtp_energy_forces(
     inv_cell = jnp.linalg.inv(cell) if cell is not None else None
     disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
     d2 = jnp.sum(disp * disp, axis=-1)
-    self_pair = nbr_idx == jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
-    mask = (d2 <= sched.max_dist**2) & (~self_pair)
+    if pair_valid is None:
+        pair_valid = nbr_idx != jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
+    mask = (d2 <= sched.max_dist**2) & pair_valid
 
     itypes = types
-    jtypes = _gather_scalar(types, nbr_idx)
+    if jtypes is None:
+        jtypes = _gather_scalar(types, nbr_idx)
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -201,15 +211,12 @@ def mtp_energy_forces(
         pair_t = pair_t * mask[..., None].astype(pair_t.dtype)
 
     # Newton's third law (pair_mtp.cpp:248-254): +T to the center, -T to each
-    # neighbor. With the reverse-slot table the give-back is a GATHER of the
-    # mirrored pair's T (full lists are symmetric) — scatters serialize on
-    # TPU, gathers don't.
-    if nbr_rev is not None:
-        j = nbr_idx.shape[1]
+    # neighbor. With the flat mirror permutation the give-back is a GATHER of
+    # the mirrored pair's T (full lists are symmetric) — scatters serialize
+    # on TPU, gathers don't.
+    if nbr_mirror is not None:
         flat = pair_t.reshape(-1, 3)
-        t_ji = _gather_rows3(flat, (nbr_idx * j + nbr_rev).reshape(-1)).reshape(
-            pair_t.shape
-        )
+        t_ji = _gather_rows3(flat, nbr_mirror).reshape(pair_t.shape)
         t_ji = t_ji * mask[..., None].astype(pair_t.dtype)
         forces = jnp.sum(pair_t - t_ji, axis=1)
     else:

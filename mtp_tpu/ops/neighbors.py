@@ -32,38 +32,37 @@ class NeighborList:
     idx: jax.Array  # (N, max_neighbors) int32, padded with self-index
     overflow: jax.Array  # () bool — capacity exceeded somewhere
     reference_positions: jax.Array  # positions at build time (for skin check)
-    # (N, max_neighbors) reverse slots: rev[i,jj] = position of i in the list
-    # of idx[i,jj]. Lets Newton force give-back be a gather instead of a
-    # scatter (scatters serialize on TPU). Optional; None unless requested.
-    rev: jax.Array | None = None
+    # (N*max_neighbors,) flat mirror permutation: mirror[p] = flat storage
+    # position of the mirrored pair (j -> i) of flat pair p = (i -> j). Lets
+    # Newton force give-back be a gather instead of a scatter (scatters
+    # serialize on TPU). Requires idx rows sorted ascending (see
+    # mirror_permutation). Optional; None unless requested.
+    mirror: jax.Array | None = None
 
 
-def reverse_slots(idx, *, row_block: int = 2048):
-    """rev[i, jj] = slot s with idx[idx[i, jj], s] == i.
+def mirror_permutation(idx):
+    """Flat mirror permutation of a row-sorted symmetric neighbor list.
 
-    Full neighbor lists are symmetric, so every real pair is found; padded
-    slots resolve to an arbitrary slot and must be masked by the caller.
+    Pairs are stored row-major, so with each row of `idx` sorted ascending
+    the storage order IS the (src, dst) lexicographic order. The k-th pair
+    in (dst, src) order is then exactly the mirror of the k-th pair in
+    storage, so `argsort(dst * N + src)` maps storage position -> mirror's
+    storage position in one O(NJ log NJ) device sort — replacing the round-1
+    reverse_slots' O(N J^2) expansion (83 ms -> ~2 ms at 32k x 64).
+
+    Padding entries (dst == src == row) mirror among themselves (equal keys,
+    equal multiplicity on both sides), and must be masked by the caller as
+    always. Requires list symmetry: every real pair (i, j) present implies
+    (j, i) present — true for full lists without overflow.
     """
     n, j = idx.shape
-
-    def phase(args):
-        rows, idx_c = args
-        lists = idx[idx_c]  # (b, J, J)
-        eq = lists == rows[:, None, None]
-        return jnp.argmax(eq, axis=-1).astype(jnp.int32)
-
-    rows_all = jnp.arange(n, dtype=jnp.int32)
-    if n <= row_block:
-        return phase((rows_all, idx))
-    nb = -(-n // row_block)
-    pad = nb * row_block - n
-    rows_p = jnp.pad(rows_all, (0, pad))
-    idx_p = jnp.pad(idx, ((0, pad), (0, 0)))
-    out = jax.lax.map(
-        phase,
-        (rows_p.reshape(nb, row_block), idx_p.reshape(nb, row_block, j)),
-    )
-    return out.reshape(nb * row_block, j)[:n]
+    src = jax.lax.broadcasted_iota(jnp.int32, (n, j), 0).reshape(-1)
+    dst = idx.reshape(-1)
+    if n <= 46340:  # n^2 < 2^31: the composite key fits int32
+        key = dst * n + src
+    else:
+        key = dst.astype(jnp.int64) * n + src
+    return jnp.argsort(key).astype(jnp.int32)
 
 
 def perpendicular_widths(cell: np.ndarray) -> np.ndarray:
@@ -148,6 +147,10 @@ def build_neighbor_list(
     dims = jnp.asarray(grid)
     bin3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
     bin_id = (bin3[:, 0] * gy + bin3[:, 1]) * gz + bin3[:, 2]
+    if real is not None:
+        # padding rows (e.g. invalid halo send slots, all at one fill
+        # position) go to a trash bin so they can't overflow a real bin
+        bin_id = jnp.where(real, bin_id, ncells)
 
     # sort atoms by bin; ranks within bin give a collision-free cell table
     order = jnp.argsort(bin_id)
@@ -155,19 +158,25 @@ def build_neighbor_list(
     # capacity: atoms per bin, padded (uniform-density estimate; callers with
     # concentrated occupancy — e.g. halo-extended slabs — pass bin_capacity).
     # Overflow is flagged, so a tight estimate is safe.
-    cap = bin_capacity or max(1, int(np.ceil(2.0 * n / ncells)) + 8)
-    counts = jnp.zeros((ncells,), jnp.int32).at[sorted_bin].add(1)
-    cell_overflow = jnp.max(counts) > cap
+    # 1.5x mean + 4 covers equilibrium density fluctuations; overflow is
+    # flagged and callers regrow, so a tight cap is safe — and it directly
+    # sets the candidate width K*cap the distance filter and top_k chew on
+    cap = bin_capacity or max(1, int(np.ceil(1.5 * n / ncells)) + 4)
+    nbins = ncells + (1 if real is not None else 0)
+    counts = jnp.zeros((nbins,), jnp.int32).at[sorted_bin].add(1)
+    cell_overflow = jnp.max(counts[:ncells]) > cap
     start = jnp.cumsum(counts) - counts
     rank = jnp.arange(n, dtype=jnp.int32) - start[sorted_bin]
-    table = jnp.full((ncells, cap), -1, dtype=jnp.int32)
+    # trash-bin rows overflow their cap harmlessly: clipped writes collide
+    # inside the trash row, which the stencil never reads
+    table = jnp.full((nbins, cap), -1, dtype=jnp.int32)
     table = table.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(
         order.astype(jnp.int32)
     )
     # positions arranged in bin-table layout: candidate coordinates are then
     # fetched as whole bins (chunky row gathers) instead of 27*cap scattered
     # element gathers per atom — the difference between ~1 and ~100 ms/build
-    ptab = jnp.zeros((ncells, cap, 3), positions.dtype)
+    ptab = jnp.zeros((nbins, cap, 3), positions.dtype)
     ptab = ptab.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(positions[order])
 
     nc = n if centers is None else centers
@@ -249,12 +258,15 @@ def build_neighbor_list(
         max_cnt = jnp.max(cnt_b)
 
     nbr_overflow = max_cnt > max_neighbors
-    rev = reverse_slots(idx) if (with_reverse and centers is None) else None
+    mirror = None
+    if with_reverse and centers is None:
+        idx = jnp.sort(idx, axis=1)  # row-sorted storage = (src, dst) order
+        mirror = mirror_permutation(idx)
     return NeighborList(
         idx=idx,
         overflow=cell_overflow | nbr_overflow | geom_overflow,
         reference_positions=positions,
-        rev=rev,
+        mirror=mirror,
     )
 
 

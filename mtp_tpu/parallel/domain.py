@@ -71,7 +71,10 @@ def partition_slabs(
     slab = np.minimum((frac[:, axis] * n_shards).astype(np.int64), n_shards - 1)
     counts = np.bincount(slab, minlength=n_shards)
     if capacity is None:
-        capacity = int(np.ceil(counts.max() / pad_multiple) * pad_multiple)
+        # ~10% headroom: migration needs free slots for atoms drifting in
+        capacity = int(
+            np.ceil((counts.max() * 1.1 + 4) / pad_multiple) * pad_multiple
+        )
     elif counts.max() > capacity:
         raise ValueError(f"slab overflow: max count {counts.max()} > capacity {capacity}")
 
