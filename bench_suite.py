@@ -39,7 +39,7 @@ def main():
             300.0,
         )
         sim = Simulation(
-            model, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+            model, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
             compute_virial=run_kw.pop("virial", False),
         )
         ensemble = run_kw.pop("ensemble", "nve")
@@ -98,7 +98,7 @@ def main():
         init_state(pos, types, np.where(types == 0, 58.693, 95.95), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model2s, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+    sim = Simulation(model2s, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
                      compute_virial=False)
     state, _, ovf = sim.run_async(state, 100, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
@@ -150,7 +150,7 @@ def main():
         init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model16, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+    sim = Simulation(model16, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
                      compute_virial=False)
     state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
@@ -170,7 +170,7 @@ def main():
         init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model16, max_neighbors=64, skin=0.5, steps_per_rebuild=20,
+    sim = Simulation(model16, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
                      compute_virial=False)
     state, _, ovf = sim.run_async(state, 20, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)

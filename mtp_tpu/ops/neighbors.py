@@ -158,10 +158,10 @@ def build_neighbor_list(
     # capacity: atoms per bin, padded (uniform-density estimate; callers with
     # concentrated occupancy — e.g. halo-extended slabs — pass bin_capacity).
     # Overflow is flagged, so a tight estimate is safe.
-    # 1.5x mean + 4 covers equilibrium density fluctuations; overflow is
-    # flagged and callers regrow, so a tight cap is safe — and it directly
-    # sets the candidate width K*cap the distance filter and top_k chew on
-    cap = bin_capacity or max(1, int(np.ceil(1.5 * n / ncells)) + 4)
+    # 2x mean + 8 covers thermal density fluctuations (1.5x + 4 was measured
+    # to overflow at 32k/300 K with ~14-atom bins); overflow is flagged and
+    # callers regrow, so the estimate only sets the candidate width
+    cap = bin_capacity or max(1, int(np.ceil(2.0 * n / ncells)) + 8)
     nbins = ncells + (1 if real is not None else 0)
     counts = jnp.zeros((nbins,), jnp.int32).at[sorted_bin].add(1)
     cell_overflow = jnp.max(counts[:ncells]) > cap

@@ -473,3 +473,27 @@ def test_cfg_triclinic_lower_triangular(rng):
         cfg.positions[:, None] - cfg.positions[None, :], axis=-1
     )
     np.testing.assert_allclose(d_new, d_orig, atol=1e-4)
+
+
+def test_sharded_pallas_backend_parity(wide_system):
+    """The sharded block with backend='pallas' (interpreted on CPU) must
+    match the XLA backend (VERDICT round-1 item 4: fast-path-equal)."""
+    model, pos, types, masses, cell = wide_system
+    mesh, part, sstate = _sharded_setup(model, pos, types, masses, cell)
+    grid = grid_shape(cell, model.cutoff)
+    out_x, fx = compute_sharded_forces(
+        model, mesh, capacity=part.capacity, max_neighbors=48, grid=grid,
+        backend="xla",
+    )(sstate)
+    assert not bool(fx.any())
+    out_p, fp = compute_sharded_forces(
+        model, mesh, capacity=part.capacity, max_neighbors=48, grid=grid,
+        backend="pallas",
+    )(sstate)
+    assert not bool(fp.any())
+    assert float(out_p.potential_energy) == pytest.approx(
+        float(out_x.potential_energy), abs=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.forces), np.asarray(out_x.forces), atol=1e-6
+    )
