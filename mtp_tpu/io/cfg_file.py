@@ -33,6 +33,8 @@ class Config:
     grades: Optional[np.ndarray] = None
     energy: Optional[float] = None
     forces: Optional[np.ndarray] = None
+    # (6,) virial*... in MLIP PlusStress order: xx yy zz yz xz xy
+    stress: Optional[np.ndarray] = None
     features: dict = dataclasses.field(default_factory=dict)
 
 
@@ -72,6 +74,7 @@ def format_cfg(
     max_grade: Optional[float] = None,
     energy: Optional[float] = None,
     forces=None,
+    stress=None,
 ) -> str:
     """One BEGIN_CFG block as a string (matching the reference's layout:
     lower-triangular Supercell with positions/forces rotated into that
@@ -108,6 +111,12 @@ def format_cfg(
     if energy is not None:
         out.append("Energy")
         out.append(f"{energy:.12f}")
+    if stress is not None:
+        s6 = np.asarray(stress, dtype=np.float64)
+        out.append(
+            "PlusStress:  xx          yy          zz          yz          xz          xy"
+        )
+        out.append(" ".join(f"{v:.6f}" for v in s6))
     if max_grade is not None:
         out.append(f"Feature   MV_grade\t{max_grade:.6f}")
     out.append("END_CFG")
@@ -148,7 +157,7 @@ def parse_cfgs(text: str) -> List[Config]:
         if line.strip() != "BEGIN_CFG":
             continue
         cell = None
-        positions = types = grades = forces = None
+        positions = types = grades = forces = stress = None
         energy = None
         features = {}
         for line in lines:
@@ -188,6 +197,8 @@ def parse_cfgs(text: str) -> List[Config]:
                         ]
             elif s == "Energy":
                 energy = float(next(lines).strip())
+            elif s.startswith("PlusStress"):
+                stress = np.array([float(v) for v in next(lines).split()])
             elif s.startswith("Feature"):
                 parts = s.split()
                 if len(parts) >= 3:
@@ -203,6 +214,7 @@ def parse_cfgs(text: str) -> List[Config]:
                 grades=grades,
                 energy=energy,
                 forces=forces,
+                stress=stress,
                 features=features,
             )
         )

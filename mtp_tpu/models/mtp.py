@@ -232,25 +232,30 @@ def mtp_energy_forces(
         # virial tally (pair_mtp.cpp:257-266): W -= sym(T (x) r). Optional,
         # like LAMMPS's vflag: NVE inner steps don't need per-step pressure.
         r = jnp.where(mask[..., None], disp, 0.0)
-        vxx = -jnp.sum(pair_t[..., 0] * r[..., 0], axis=1)
-        vyy = -jnp.sum(pair_t[..., 1] * r[..., 1], axis=1)
-        vzz = -jnp.sum(pair_t[..., 2] * r[..., 2], axis=1)
-        vxy = -0.5 * jnp.sum(
-            pair_t[..., 0] * r[..., 1] + pair_t[..., 1] * r[..., 0], axis=1
-        )
-        vxz = -0.5 * jnp.sum(
-            pair_t[..., 0] * r[..., 2] + pair_t[..., 2] * r[..., 0], axis=1
-        )
-        vyz = -0.5 * jnp.sum(
-            pair_t[..., 1] * r[..., 2] + pair_t[..., 2] * r[..., 1], axis=1
-        )
-        vatom = jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)  # (N, 6)
+        vatom = _virial_tally(pair_t, r)
         out["virial"] = jnp.sum(vatom, axis=0)
         if compute_vatom:
             out["vatom"] = vatom
     else:
         out["virial"] = jnp.zeros((6,), dtype=forces.dtype)
     return out
+
+
+def _virial_tally(pair_t, r):
+    """Per-atom virial tally (N, 6) in Voigt order (xx,yy,zz,xy,xz,yz)."""
+    vxx = -jnp.sum(pair_t[..., 0] * r[..., 0], axis=1)
+    vyy = -jnp.sum(pair_t[..., 1] * r[..., 1], axis=1)
+    vzz = -jnp.sum(pair_t[..., 2] * r[..., 2], axis=1)
+    vxy = -0.5 * jnp.sum(
+        pair_t[..., 0] * r[..., 1] + pair_t[..., 1] * r[..., 0], axis=1
+    )
+    vxz = -0.5 * jnp.sum(
+        pair_t[..., 0] * r[..., 2] + pair_t[..., 2] * r[..., 0], axis=1
+    )
+    vyz = -0.5 * jnp.sum(
+        pair_t[..., 1] * r[..., 2] + pair_t[..., 2] * r[..., 1], axis=1
+    )
+    return jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)
 
 
 def _pallas_site_energy_vjp(sched, coeffs, disp, mask, itypes, jtypes):

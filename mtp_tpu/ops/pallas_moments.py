@@ -585,3 +585,4 @@ def site_energies_fused(sched, coeffs, dispT, mask, itypes_row, jtypes_t):
     basis_members = m[sched.mapping]  # (n_scalar, N)
     e = coeffs.moment_coeffs.astype(dtype) @ basis_members
     return e + coeffs.species_coeffs.astype(dtype)[itypes_row[0]]
+

@@ -2,6 +2,8 @@
 
 import io
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,3 +74,17 @@ def test_checkpoint_no_aux(tmp_path, rng):
     st2, aux2 = load_checkpoint(f, dtype=jnp.float32)
     assert aux2 is None
     assert st2.positions.dtype == jnp.float32
+
+
+def test_cfg_plusstress_roundtrip(rng):
+    """PlusStress section round-trips (MLIP training sets carry stress)."""
+    from mtp_tpu.io.cfg_file import format_cfg, parse_cfgs
+
+    cell = np.diag([10.0, 11.0, 12.0])
+    pos = rng.uniform(0, 10, (4, 3))
+    types = np.zeros(4, dtype=np.int64)
+    stress = rng.normal(size=6)
+    txt = format_cfg(cell, pos, types, energy=-3.25, stress=stress)
+    cfg = parse_cfgs(txt)[0]
+    assert cfg.energy == pytest.approx(-3.25)
+    np.testing.assert_allclose(cfg.stress, stress, atol=1e-5)

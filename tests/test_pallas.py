@@ -69,3 +69,4 @@ def test_pallas_padding_paths(mtp_level8, rng):
     np.testing.assert_allclose(
         np.asarray(b["forces"]), np.asarray(a["forces"]), atol=1e-12
     )
+
