@@ -161,7 +161,7 @@ class Simulation:
             # the previous block's last step are already position-consistent.
             state = itg._with_forces(state, force_fn)
 
-        state, aux = self._scan_steps(
+        state, aux, stale = self._scan_steps(
             state,
             aux,
             force_fn,
@@ -172,8 +172,9 @@ class Simulation:
             pressure=pressure,
             tdamp=tdamp,
             pdamp=pdamp,
+            ref_positions=nl.reference_positions,
         )
-        return state, aux, nl.overflow
+        return state, aux, nl.overflow, stale
 
     def _scan_steps(
         self,
@@ -188,14 +189,20 @@ class Simulation:
         pressure,
         tdamp,
         pdamp,
+        ref_positions=None,
     ):
         # types/masses never change during the scan: close over them instead
         # of carrying them, so XLA hoists loop-invariant work (notably the
         # (N, J) jtypes gather — ~4 ms/step at 32k x 64) out of the loop
         template = state
+        # Verlet-list staleness: any atom moving > skin/2 since the build can
+        # let an unseen pair enter the cutoff (LAMMPS `neigh_modify check yes`
+        # semantics). Checked every step, OR-accumulated, reported like the
+        # overflow flag so long rebuild intervals are safe, not silent.
+        half_skin2 = (0.5 * self.skin) ** 2
 
         def one(carry, _):
-            pos, vel, f, cell, pe, vir, step, aux = carry
+            pos, vel, f, cell, pe, vir, step, stale, aux = carry
             state = dataclasses.replace(
                 template,
                 positions=pos,
@@ -220,6 +227,11 @@ class Simulation:
                 )
             else:
                 raise ValueError(f"unknown ensemble {ensemble}")
+            if ref_positions is not None:
+                d = state.positions - ref_positions
+                stale = stale | (
+                    jnp.max(jnp.sum(d * d, axis=-1)) > half_skin2
+                )
             out = (
                 state.positions,
                 state.velocities,
@@ -228,6 +240,7 @@ class Simulation:
                 state.potential_energy,
                 state.virial,
                 state.step,
+                stale,
                 aux,
             )
             return out, None
@@ -240,9 +253,10 @@ class Simulation:
             state.potential_energy,
             state.virial,
             state.step,
+            jnp.zeros((), bool),
             aux,
         )
-        (pos, vel, f, cell, pe, vir, step, aux), _ = jax.lax.scan(
+        (pos, vel, f, cell, pe, vir, step, stale, aux), _ = jax.lax.scan(
             one, carry0, None, length=n_steps
         )
         state = dataclasses.replace(
@@ -255,7 +269,7 @@ class Simulation:
             virial=vir,
             step=step,
         )
-        return state, aux
+        return state, aux, stale
 
     @partial(
         jax.jit,
@@ -276,7 +290,11 @@ class Simulation:
         pdamp: float = 1.0,
     ):
         """`n_steps` integrator steps with a frozen neighbor list (no rebuild
-        in-graph — pairs with :meth:`rebuild` for the async fast path)."""
+        in-graph — pairs with :meth:`rebuild` for the async fast path).
+
+        Returns (state, aux, stale): `stale` is a device bool set if any atom
+        moved > skin/2 since the list build (the block's physics can no
+        longer be trusted — rebuild more often)."""
         force_fn = self.force_fn(
             nl.idx, nl.mirror,
             compute_virial=self.compute_virial or ensemble == "npt",
@@ -293,6 +311,7 @@ class Simulation:
             pressure=pressure,
             tdamp=tdamp,
             pdamp=pdamp,
+            ref_positions=nl.reference_positions,
         )
 
     def run_async(
@@ -313,9 +332,12 @@ class Simulation:
         sync at the end. Constant-cell ensembles only.
 
         Returns (state, aux, overflow) — `overflow` is a device scalar; check
-        it after syncing and re-run with more capacity if set. NPT is allowed:
-        the bin grid is chosen from the initial cell and the builder flags
-        `overflow` if the cell shrinks past the grid's validity.
+        it after syncing and re-run with more capacity if set. It also ORs in
+        the Verlet staleness flag (an atom moved > skin/2 within a block), so
+        long `steps_per_rebuild` values are safe: a tripped run is flagged,
+        never silently wrong — re-run with a shorter rebuild interval. NPT is
+        allowed: the bin grid is chosen from the initial cell and the builder
+        flags `overflow` if the cell shrinks past the grid's validity.
         """
         if aux is None:
             aux = _default_aux(ensemble, state)
@@ -343,7 +365,8 @@ class Simulation:
             if first:
                 state = self.refresh_forces(state, nl, ensemble=ensemble)
                 first = False
-            state, aux = self.steps(state, aux, nl, n_steps=k, **kw)
+            state, aux, stale = self.steps(state, aux, nl, n_steps=k, **kw)
+            overflow = overflow | stale
             done += k
         return state, aux, overflow
 
@@ -384,7 +407,7 @@ class Simulation:
 
         def one_block(carry, _):
             state, aux, ovf = carry
-            state, aux, o = self.block(
+            state, aux, o, stale = self.block(
                 state,
                 aux,
                 grid=grid,
@@ -397,7 +420,7 @@ class Simulation:
                 tdamp=tdamp,
                 pdamp=pdamp,
             )
-            return (state, aux, ovf | o), None
+            return (state, aux, ovf | o | stale), None
 
         (state, aux, overflow), _ = jax.lax.scan(
             one_block,
@@ -447,7 +470,7 @@ class Simulation:
                 np.asarray(jax.device_get(state.cell)),
                 (self.model.cutoff + self.skin) * self.grid_margin,
             )
-            new_state, new_aux, overflow = self.block(
+            new_state, new_aux, overflow, stale = self.block(
                 state,
                 aux,
                 grid=grid,
@@ -464,6 +487,11 @@ class Simulation:
             if bool(overflow):
                 # discard the block and retry with more capacity
                 self.max_neighbors = int(self.max_neighbors * 1.5) + 8
+                continue
+            if bool(stale):
+                # an atom outran the Verlet skin mid-block: discard and retry
+                # with a shorter rebuild interval (sticky for this run)
+                self.steps_per_rebuild = max(1, self.steps_per_rebuild // 2)
                 continue
             state, aux = new_state, new_aux
             done += k

@@ -170,3 +170,34 @@ def test_npt_conserved_quantity(system):
     # a broken integrator (round-1: unthermostatted barostat) drifts by
     # ~1e-2 eV within 120 steps here; dt^2 fluctuations are ~8e-4
     assert drift < 2e-5 * state.n_atoms, f"NPT conserved-quantity drift {h - h[0]}"
+
+
+def test_stale_flag_guards_long_rebuild_intervals(system):
+    """Verlet staleness: with a tiny skin and a long rebuild interval, an
+    atom moving > skin/2 mid-block must be flagged (run_async) and must make
+    run() fall back to shorter blocks — never silently wrong physics."""
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(7), state0, 600.0)
+
+    # run_async reports staleness through the overflow flag
+    sim = Simulation(model, max_neighbors=64, skin=1e-3, steps_per_rebuild=200)
+    _, _, flag = sim.run_async(state, 200, ensemble="nve", dt=0.001)
+    assert bool(flag), "staleness must be flagged with a tiny skin"
+
+    # a healthy skin over a short horizon: no flag
+    sim2 = Simulation(model, max_neighbors=64, skin=1.0, steps_per_rebuild=15)
+    _, _, flag2 = sim2.run_async(state, 15, ensemble="nve", dt=0.001)
+    assert not bool(flag2)
+
+    # run() retries the block with a halved interval until it fits
+    sim3 = Simulation(model, max_neighbors=64, skin=0.05, steps_per_rebuild=64)
+    out, _ = sim3.run(state, 64, ensemble="nve", dt=0.001)
+    assert sim3.steps_per_rebuild < 64
+    assert int(out.step) == 64
+
+    # the fallback trajectory matches a conservative fixed-cadence run
+    sim4 = Simulation(model, max_neighbors=64, skin=0.6, steps_per_rebuild=4)
+    ref, _ = sim4.run(state, 64, ensemble="nve", dt=0.001)
+    np.testing.assert_allclose(
+        np.asarray(out.positions), np.asarray(ref.positions), atol=1e-8
+    )
