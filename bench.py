@@ -42,14 +42,15 @@ def main():
     from mtp_tpu.ops.neighbors import grid_shape
 
     # J=56 is the tightest width that never overflows the ~43-neighbor
-    # (cutoff+skin=5.5) shells under 300 K fluctuations (J=48 trips the
+    # (cutoff+skin~5.5) shells under 300 K fluctuations (J=48 trips the
     # overflow flag mid-run); gathers and the megakernel scale with J.
-    # spb=30 keeps solid-state displacements well under skin/2 between
-    # rebuilds while amortizing the ~100 ms rebuild to ~3 ms/step.
+    # skin=0.6: the Verlet staleness check flags any atom moving > skin/2
+    # between rebuilds; at 300 K the max 30-step displacement over 32k
+    # atoms is ~0.24 A, right at a 0.5-skin's threshold — 0.6 gives margin.
     sim = Simulation(
-        model, max_neighbors=56, skin=0.5, steps_per_rebuild=30, compute_virial=False
+        model, max_neighbors=56, skin=0.6, steps_per_rebuild=30, compute_virial=False
     )
-    grid = grid_shape(cell, model.cutoff + 0.5)
+    grid = grid_shape(cell, model.cutoff + 0.6)
 
     n_steps = 200
 

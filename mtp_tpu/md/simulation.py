@@ -24,8 +24,19 @@ import numpy as np
 
 from mtp_tpu.md import integrators as itg
 from mtp_tpu.md.state import MDState
-from mtp_tpu.models.mtp import MTPModel, mtp_energy_forces
-from mtp_tpu.ops.neighbors import build_neighbor_list, check_cell, grid_shape
+from mtp_tpu.models.mtp import (
+    MTPModel,
+    mtp_energy_forces,
+    mtp_energy_forces_window,
+    window_constants,
+)
+from mtp_tpu.ops.neighbors import (
+    SortedNeighborList,
+    build_neighbor_list,
+    build_sorted_neighbor_list,
+    check_cell,
+    grid_shape,
+)
 
 
 @dataclasses.dataclass(eq=False)
@@ -52,6 +63,59 @@ class Simulation:
     # an NPT cell can shrink by (grid_margin-1) before the static grid needs
     # recomputing (the geometry-overflow flag trips past that).
     grid_margin: float = 1.0
+    # banded-window disp path (bin-sorted atoms, in-kernel gather): "auto"
+    # enables it with the pallas backend when the bin grid supports the
+    # 3-band geometry; True/False force it.
+    window: str | bool = "auto"
+
+    def _resolved_backend(self) -> str:
+        if self.backend == "auto":
+            return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return self.backend
+
+    def _use_window(self, grid: tuple) -> bool:
+        if self.window == "auto":
+            use = self._resolved_backend() == "pallas"
+        else:
+            use = bool(self.window)
+        # the 3-band coverage argument needs a full 3x3x3 stencil and
+        # 8-aligned slot groups
+        return use and min(grid) >= 3 and self.max_neighbors % 8 == 0
+
+    def force_fn_window(
+        self, swl: SortedNeighborList, types, compute_virial=None, dtype=jnp.float32
+    ):
+        """Force closure for the banded-window path. Everything that depends
+        only on (types, lists) is precomputed here, outside any step scan."""
+        sched = self.model.schedule
+        coeffs = self.model.coeffs
+        cv = self.compute_virial if compute_virial is None else compute_virial
+        consts = window_constants(sched, coeffs, types, swl, dtype)
+
+        def fn(positions, types_unused, cell):
+            out = mtp_energy_forces_window(
+                sched,
+                coeffs,
+                positions,
+                cell,
+                swl,
+                compute_virial=cv,
+                **consts,
+            )
+            return out["forces"], out["energy"], out["virial"]
+
+        return fn
+
+    def _force_fn_for(self, nl, state, *, ensemble="nve"):
+        cv = self.compute_virial or ensemble == "npt"
+        if isinstance(nl, SortedNeighborList):
+            return self.force_fn_window(
+                nl, state.types, compute_virial=cv,
+                dtype=state.positions.dtype,
+            )
+        return self.force_fn(
+            nl.idx, nl.mirror, compute_virial=cv, types=state.types
+        )
 
     def force_fn(self, nbr_idx, nbr_mirror=None, compute_virial=None, types=None):
         sched = self.model.schedule
@@ -96,6 +160,14 @@ class Simulation:
     def rebuild(self, state: MDState, *, grid: tuple, max_neighbors: int):
         """Neighbor rebuild as its own dispatch (separating it from the step
         scan keeps XLA from pessimizing the scan body)."""
+        if self._use_window(grid):
+            return build_sorted_neighbor_list(
+                state.positions,
+                state.cell,
+                self.model.cutoff + self.skin,
+                max_neighbors=max_neighbors,
+                grid=grid,
+            )
         return build_neighbor_list(
             state.positions,
             state.cell,
@@ -107,11 +179,7 @@ class Simulation:
 
     @partial(jax.jit, static_argnames=("self", "ensemble"))
     def refresh_forces(self, state: MDState, nl, *, ensemble: str = "nve"):
-        force_fn = self.force_fn(
-            nl.idx, nl.mirror,
-            compute_virial=self.compute_virial or ensemble == "npt",
-            types=state.types,
-        )
+        force_fn = self._force_fn_for(nl, state, ensemble=ensemble)
         return itg._with_forces(state, force_fn)
 
     @partial(
@@ -142,19 +210,21 @@ class Simulation:
         refresh: bool = False,
     ):
         cutoff = self.model.cutoff + self.skin
-        nl = build_neighbor_list(
-            state.positions,
-            state.cell,
-            cutoff,
-            max_neighbors=max_neighbors,
-            grid=grid,
-            with_reverse=True,
-        )
-        force_fn = self.force_fn(
-            nl.idx, nl.mirror,
-            compute_virial=self.compute_virial or ensemble == "npt",
-            types=state.types,
-        )
+        if self._use_window(grid):
+            nl = build_sorted_neighbor_list(
+                state.positions, state.cell, cutoff,
+                max_neighbors=max_neighbors, grid=grid,
+            )
+        else:
+            nl = build_neighbor_list(
+                state.positions,
+                state.cell,
+                cutoff,
+                max_neighbors=max_neighbors,
+                grid=grid,
+                with_reverse=True,
+            )
+        force_fn = self._force_fn_for(nl, state, ensemble=ensemble)
         if refresh:
             # incoming forces are stale/zero (first block after init or after
             # an overflow retry); recompute. Otherwise the forces carried from
@@ -295,11 +365,7 @@ class Simulation:
         Returns (state, aux, stale): `stale` is a device bool set if any atom
         moved > skin/2 since the list build (the block's physics can no
         longer be trusted — rebuild more often)."""
-        force_fn = self.force_fn(
-            nl.idx, nl.mirror,
-            compute_virial=self.compute_virial or ensemble == "npt",
-            types=state.types,
-        )
+        force_fn = self._force_fn_for(nl, state, ensemble=ensemble)
         return self._scan_steps(
             state,
             aux,
@@ -485,8 +551,10 @@ class Simulation:
                 refresh=refresh,
             )
             if bool(overflow):
-                # discard the block and retry with more capacity
-                self.max_neighbors = int(self.max_neighbors * 1.5) + 8
+                # discard the block and retry with more capacity (kept a
+                # multiple of 8 for the kernel slot groups)
+                grown = int(self.max_neighbors * 1.5) + 8
+                self.max_neighbors = -(-grown // 8) * 8
                 continue
             if bool(stale):
                 # an atom outran the Verlet skin mid-block: discard and retry

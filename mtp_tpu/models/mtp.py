@@ -319,3 +319,115 @@ def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
     return jnp.sum(
         site_energies(sched, coeffs, disp, mask, types, types[nbr_idx])
     )
+
+
+# ----------------------------------------------------------------------
+# banded-window force path (bin-sorted, in-kernel disp gather; TPU fast path)
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("sched", "compute_virial"))
+def mtp_energy_forces_window(
+    sched,
+    coeffs,
+    positions,
+    cell,
+    swl,
+    *,
+    it_row,
+    jtypes_t,
+    pair_valid_t,
+    esp,
+    xi_full,
+    compute_virial: bool = True,
+):
+    """Energy/forces/virial through the banded-window kernel path.
+
+    Same math as :func:`mtp_energy_forces` with backend="pallas", but the
+    per-pair displacement gather happens inside a Pallas kernel over
+    bin-sorted atoms (ops/window_disp.py) instead of the serializing XLA
+    row gather. `positions` stays in user order; `swl` is a
+    :class:`~mtp_tpu.ops.neighbors.SortedNeighborList`; the (J, N_pad)
+    arrays (`it_row`, `jtypes_t`, `pair_valid_t`, `esp`, `xi_full`) are
+    rebuild-constant and must be precomputed outside any step scan (XLA
+    does not hoist them, see mtp_energy_forces).
+    """
+    from mtp_tpu.ops.pallas_moments import site_energies_mega
+    from mtp_tpu.ops.window_disp import window_disp
+
+    n = positions.shape[0]
+    n_pad = swl.idx.shape[0]
+    dtype = positions.dtype
+
+    pos_s = _gather_rows3(positions, swl.order)
+    if n_pad != n:
+        pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
+    dispT = window_disp(pos_s, swl.window_idx, swl.bands, cell)  # (3, J, N_pad)
+
+    d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2  # (J, N_pad)
+    maskf = jnp.where(
+        (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
+    ).astype(dtype)
+
+    site_e, vjp = jax.vjp(
+        lambda dT: site_energies_mega(
+            sched, dT, maskf, it_row, jtypes_t,
+            coeffs.radial_coeffs.astype(dtype), xi_full, esp,
+        ),
+        dispT,
+    )
+    (pair_tT,) = vjp(jnp.ones_like(site_e))
+
+    pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)
+    flat = pair_t.reshape(-1, 3)
+    t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
+    t_ji = t_ji * maskf.T[..., None].astype(dtype)
+    forces_s = jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
+    forces = _gather_rows3(forces_s, swl.inv_order)  # user order, (N, 3)
+
+    out = dict(
+        energy=jnp.sum(site_e),
+        site_energies=site_e[swl.inv_order],
+        forces=forces,
+    )
+    if compute_virial:
+        r = jnp.moveaxis(dispT, (0, 1, 2), (2, 1, 0)) * maskf.T[..., None]
+        vatom = _virial_tally(pair_t, r.astype(dtype))
+        out["virial"] = jnp.sum(vatom, axis=0)
+    else:
+        out["virial"] = jnp.zeros((6,), dtype=forces.dtype)
+    return out
+
+
+def window_constants(sched, coeffs, types, swl, dtype):
+    """Rebuild-constant (J, N_pad) arrays for the window path: neighbor
+    types, self-pair mask, per-atom species energies (zero on padding rows),
+    and the padded readout vector. Compute OUTSIDE the step scan."""
+    import numpy as _np
+
+    n = types.shape[0]
+    n_pad = swl.idx.shape[0]
+    types_s = types[swl.order].astype(jnp.int32)
+    types_pad = jnp.zeros((n_pad,), jnp.int32).at[:n].set(types_s)
+    it_row = types_pad[None, :]
+    jtypes_t = _gather_scalar(types_pad, swl.idx).T.astype(jnp.int32)
+    rows = jnp.arange(n_pad, dtype=swl.idx.dtype)
+    pair_valid_t = (swl.idx != rows[:, None]).T
+    esp = coeffs.species_coeffs.astype(dtype)[types_pad]
+    esp = jnp.where(rows < n, esp, 0.0)[None, :]
+
+    m_total = sched.alpha_moments_count
+    m_pad = -(-m_total // 8) * 8
+    mapping = _np.asarray(sched.mapping)
+    xi_full = (
+        jnp.zeros((1, m_pad), dtype)
+        .at[0, mapping]
+        .set(coeffs.moment_coeffs.astype(dtype))
+    )
+    return dict(
+        it_row=it_row,
+        jtypes_t=jtypes_t,
+        pair_valid_t=pair_valid_t,
+        esp=esp,
+        xi_full=xi_full,
+    )

@@ -302,3 +302,76 @@ def needs_rebuild(nl: NeighborList, positions, cell, skin: float):
         f -= jnp.round(f)
         disp = f @ cell
     return jnp.max(jnp.sum(disp * disp, axis=-1)) > (0.5 * skin) ** 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SortedNeighborList:
+    """Bin-sorted neighbor data for the banded-window kernel path.
+
+    All index arrays live in *sorted* space (row k = atom order[k]); the MD
+    state stays in user order — the force path permutes positions in and
+    forces out (two cheap (N,)-row gathers per step).
+    """
+
+    order: jax.Array  # (N,) int32: sorted row -> user atom
+    inv_order: jax.Array  # (N,) int32: user atom -> sorted row
+    idx: jax.Array  # (N_pad, J) int32 sorted-space list, pads = own row
+    mirror: jax.Array  # (N_pad*J,) flat mirror permutation
+    window_idx: jax.Array  # (N_pad, J) pads retargeted into their tile
+    bands: jax.Array  # (n_tiles, J//8, NBANDS) 128-aligned band bases
+    overflow: jax.Array  # () bool: capacity, geometry or band coverage
+    reference_positions: jax.Array  # user-order positions at build time
+
+
+def build_sorted_neighbor_list(
+    positions,
+    cell,
+    cutoff,
+    *,
+    max_neighbors: int,
+    grid: tuple,
+):
+    """Cell-list build over bin-sorted atoms + banded-window metadata.
+
+    The sort gives every 256-atom tile neighbors confined to <= 3 narrow
+    index bands (the stencil's x-layers), which is what lets the Pallas
+    displacement kernel resolve pairs with in-VMEM lane gathers instead of
+    the serializing XLA row gather (see ops/window_disp.py).
+    """
+    from mtp_tpu.ops.window_disp import TN, band_bases, num_tiles, pad_window_lists
+
+    n = positions.shape[0]
+    gx, gy, gz = grid
+    inv_cell = jnp.linalg.inv(cell)
+    frac = positions @ inv_cell
+    frac = frac - jnp.floor(frac)
+    dims = jnp.asarray(grid)
+    bin3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
+    bin_id = (bin3[:, 0] * gy + bin3[:, 1]) * gz + bin3[:, 2]
+    order = jnp.argsort(bin_id).astype(jnp.int32)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+
+    spos = positions[order]
+    nl = build_neighbor_list(
+        spos, cell, cutoff, max_neighbors=max_neighbors, grid=grid,
+        with_reverse=False,
+    )
+    n_pad = -(-n // TN) * TN
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    idx_pad = jnp.broadcast_to(rows[:, None], (n_pad, nl.idx.shape[1]))
+    idx_pad = idx_pad.at[:n].set(nl.idx)
+    idx_pad = jnp.sort(idx_pad, axis=1)
+    mirror = mirror_permutation(idx_pad)
+    window_idx = pad_window_lists(idx_pad, n_pad)
+    bands, covered = band_bases(window_idx, num_tiles(n_pad))
+    return SortedNeighborList(
+        order=order,
+        inv_order=inv_order,
+        idx=idx_pad,
+        mirror=mirror,
+        window_idx=window_idx,
+        bands=bands,
+        overflow=nl.overflow | ~covered,
+        reference_positions=positions,
+    )
