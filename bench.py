@@ -54,6 +54,15 @@ def main():
 
     n_steps = 200
 
+    # equilibrate through the thermalization transient with short rebuild
+    # intervals: right after thermalize the max-displacement tail is fatter
+    # and can trip the Verlet staleness flag at steps_per_rebuild=30
+    eq = Simulation(
+        model, max_neighbors=56, skin=0.6, steps_per_rebuild=10, compute_virial=False
+    )
+    state, _, eq_ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
+    assert not bool(eq_ovf), "equilibration overflow"
+
     def run(state):
         state, _, overflow = sim.run_async(state, n_steps, ensemble="nve", dt=0.001)
         return state, overflow

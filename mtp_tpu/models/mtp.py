@@ -362,7 +362,7 @@ def mtp_energy_forces_window(
     pos_s = _gather_rows3(positions, swl.order)
     if n_pad != n:
         pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
-    dispT = window_disp(pos_s, swl.window_idx, swl.bands, cell)  # (3, J, N_pad)
+    dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)  # (3, J, N_pad)
 
     d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2  # (J, N_pad)
     maskf = jnp.where(

@@ -59,10 +59,12 @@ def mirror_permutation(idx):
     src = jax.lax.broadcasted_iota(jnp.int32, (n, j), 0).reshape(-1)
     dst = idx.reshape(-1)
     if n <= 46340:  # n^2 < 2^31: the composite key fits int32
-        key = dst * n + src
-    else:
-        key = dst.astype(jnp.int64) * n + src
-    return jnp.argsort(key).astype(jnp.int32)
+        return jnp.argsort(dst * n + src).astype(jnp.int32)
+    # larger systems: a composite int32 key overflows, and int64 silently
+    # truncates on TPU (x64 disabled) — lexicographic two-key sort instead
+    pos = jnp.arange(n * j, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((dst, src, pos), num_keys=2)
+    return perm
 
 
 def perpendicular_widths(cell: np.ndarray) -> np.ndarray:
@@ -319,9 +321,14 @@ class SortedNeighborList:
     idx: jax.Array  # (N_pad, J) int32 sorted-space list, pads = own row
     mirror: jax.Array  # (N_pad*J,) flat mirror permutation
     window_idx: jax.Array  # (N_pad, J) pads retargeted into their tile
-    bands: jax.Array  # (n_tiles, J//8, NBANDS) 128-aligned band bases
-    overflow: jax.Array  # () bool: capacity, geometry or band coverage
+    wl: jax.Array  # (n_tiles, J//8, 2, MAXW) active source chunk ids
+    wl_counts: jax.Array  # (n_tiles, J//8, 2) real item count per block
+    overflow: jax.Array  # () bool: capacity, geometry or worklist overflow
     reference_positions: jax.Array  # user-order positions at build time
+    # octant-aligned slot layout metadata (see ops/slot_assign.py); None
+    # when built with align_slots=False
+    rev: jax.Array | None = None  # (N_pad, J) reverse slots
+    aligned: jax.Array | None = None  # (N_pad, J) aligned-at-this-end flags
 
 
 def build_sorted_neighbor_list(
@@ -331,15 +338,16 @@ def build_sorted_neighbor_list(
     *,
     max_neighbors: int,
     grid: tuple,
+    align_slots: bool = True,
 ):
     """Cell-list build over bin-sorted atoms + banded-window metadata.
 
-    The sort gives every 256-atom tile neighbors confined to <= 3 narrow
-    index bands (the stencil's x-layers), which is what lets the Pallas
-    displacement kernel resolve pairs with in-VMEM lane gathers instead of
-    the serializing XLA row gather (see ops/window_disp.py).
+    The sort confines the neighbors of every (256-atom tile, 8-slot group)
+    to a handful of 128-atom chunks of the sorted order, which is what lets
+    the Pallas displacement kernel resolve pairs with in-VMEM lane gathers
+    instead of the serializing XLA row gather (see ops/window_disp.py).
     """
-    from mtp_tpu.ops.window_disp import TN, band_bases, num_tiles, pad_window_lists
+    from mtp_tpu.ops.window_disp import TN, num_tiles, pad_window_lists, worklists
 
     n = positions.shape[0]
     gx, gy, gz = grid
@@ -362,16 +370,39 @@ def build_sorted_neighbor_list(
     idx_pad = jnp.broadcast_to(rows[:, None], (n_pad, nl.idx.shape[1]))
     idx_pad = idx_pad.at[:n].set(nl.idx)
     idx_pad = jnp.sort(idx_pad, axis=1)
-    mirror = mirror_permutation(idx_pad)
+    rev = aligned = None
+    if align_slots:
+        # octant-aligned slot layout: makes the Newton give-back's source
+        # sublane a static flip of the destination sublane for ~95% of
+        # directions (ops/slot_assign.py), the enabler for the in-kernel
+        # give-back gather
+        from mtp_tpu.models.mtp import gather_displacements
+        from mtp_tpu.ops.slot_assign import (
+            assign_slots,
+            octant_classes,
+            reverse_slots,
+        )
+
+        pos_pad = jnp.zeros((n_pad, 3), spos.dtype).at[:n].set(spos)
+        disp = gather_displacements(pos_pad, idx_pad, cell, inv_cell)
+        cls = octant_classes(disp, idx_pad)
+        perm, aligned = assign_slots(idx_pad, cls)
+        idx_pad = jnp.take_along_axis(idx_pad, perm, axis=1)
+        mirror, rev = reverse_slots(idx_pad)
+    else:
+        mirror = mirror_permutation(idx_pad)
     window_idx = pad_window_lists(idx_pad, n_pad)
-    bands, covered = band_bases(window_idx, num_tiles(n_pad))
+    wl, wl_counts, covered = worklists(window_idx, num_tiles(n_pad))
     return SortedNeighborList(
         order=order,
         inv_order=inv_order,
         idx=idx_pad,
         mirror=mirror,
         window_idx=window_idx,
-        bands=bands,
+        wl=wl,
+        wl_counts=wl_counts,
         overflow=nl.overflow | ~covered,
         reference_positions=positions,
+        rev=rev,
+        aligned=aligned,
     )

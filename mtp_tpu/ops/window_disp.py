@@ -4,18 +4,21 @@ Replaces the XLA per-pair position gather (the single most expensive op of
 the force evaluation: ~4.5 ms/step at 32k x 56 on v5e, pure gather-row-count
 cost) with a Pallas kernel that exploits spatial sorting:
 
-* Atoms are sorted by cell-list bin (x-major). A tile of TN consecutive
-  sorted atoms then has all its neighbors inside THREE narrow index bands
-  (the three x-layers of the stencil), each spanning only a few hundred
-  atoms (measured: ~9.6 active 128-lane chunks per (tile, slot-group) vs
-  77 for a naive tile-wide window).
-* At rebuild time, :func:`band_bases` finds, per (tile, 8-slot group), three
-  128-aligned band bases guaranteed to cover every neighbor index (coverage
-  is flagged, never assumed).
+* Atoms are sorted by cell-list bin (x-major). The neighbors of any
+  (256-atom tile, 8-slot group, 128-lane half) then touch only a handful of
+  128-atom chunks of the sorted order (measured at 32k/14^3: ~15 distinct
+  chunks, max 22) because row-sorted slot groups concentrate by order
+  statistics.
+* At rebuild time :func:`worklists` enumerates those chunks exactly — a
+  per-(tile, group, half) list of active chunk ids, padded with a sentinel.
+  Unlike the earlier contiguous-band scheme this makes no geometric
+  assumption about the bin grid (anisotropic boxes spread each stencil
+  x-layer over several disjoint index runs); capacity overflow is flagged,
+  never assumed away.
 * The kernel holds the whole component-major position table in VMEM
-  (32 kB/8k atoms) and resolves each pair by a per-sublane lane gather
-  (`jnp.take_along_axis(axis=1)`, a native VPU shuffle) within the 8 chunks
-  of each band, select-merged by range masks.
+  (3*N_pad*4 B: 384 kB at 32k, 12 MB at 1M) and resolves each pair by a
+  per-sublane lane gather (`jnp.take_along_axis(axis=1)`, a native VPU
+  shuffle) within each worklist chunk, select-merged by range masks.
 
 The reference has no analog — LAMMPS hands the pair style a finished
 neighbor list and pays the gather as cache misses (pair_mtp_kokkos.cpp:
@@ -28,66 +31,64 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TN = 256  # atoms per tile (must match the megakernel tile for shared padding)
-# 6 bands: 3 stencil x-layers, each possibly split in two by the periodic
-# y-wrap (boundary pencils neighbor both ends of the adjacent layers). Most
-# (tile, group)s use ~3; empty bands carry SENTINEL and are skipped in-kernel.
-NBANDS = 6
-BAND_CHUNKS = 8  # 128-lane chunks per band -> band covers 1024 atoms
-GROUP = 8  # neighbor slots per band group
-SENTINEL = 2**24  # marks an unused band (guaranteed past any atom index)
+GROUP = 8  # neighbor slots per worklist group
+MAXW = 32  # worklist capacity: distinct 128-chunks per (tile, group, half)
+SENTINEL = 2**24  # marks an unused worklist slot
 
 
 def num_tiles(n_pad: int) -> int:
     return n_pad // TN
 
 
-def band_bases(idx_pad, n_tiles: int):
-    """Per-(tile, slot-group) band bases covering all neighbor indices.
+def worklists(idx_pad, n_tiles: int, maxw: int = MAXW):
+    """Active source chunks per (tile, slot-group, 128-lane half).
 
     Args:
       idx_pad: (N_pad, J) int32 sorted-space neighbor indices, J a multiple
         of 8; padding entries must already point inside their tile (see
         :func:`pad_window_lists`).
       n_tiles: N_pad // TN.
+      maxw: static worklist capacity.
 
-    Returns (bases, covered):
-      bases: (n_tiles, J//8, NBANDS) int32, 128-aligned atom offsets.
-      covered: () bool — False if any index escapes all bands (caller must
-        treat like neighbor overflow: the band geometry assumption broke).
+    Returns (wl, counts, covered):
+      wl: (n_tiles, J//8, 2, maxw) int32 sorted ascending chunk ids,
+        SENTINEL-padded.
+      counts: (n_tiles, J//8, 2) int32 number of real items per block (the
+        kernel's dynamic loop bound — sentinel slots are never visited).
+      covered: () bool — False if any block has more than `maxw` distinct
+        chunks (treat like neighbor overflow).
     """
     n_pad, j = idx_pad.shape
     ng = j // GROUP
-    vals = idx_pad.reshape(n_tiles, TN, ng, GROUP)
-    vals = jnp.moveaxis(vals, 1, 2).reshape(n_tiles, ng, TN * GROUP)
-    span = 128 * BAND_CHUNKS
-    big = jnp.int32(2**30)
-
-    bases = []
-    remaining = vals
-    covered_mask = jnp.zeros(vals.shape, bool)
-    for _ in range(NBANDS):
-        lo = jnp.min(
-            jnp.where(covered_mask, big, remaining), axis=-1
-        )  # (n_tiles, ng)
-        base = (lo // 128) * 128
-        base = jnp.where(lo == big, SENTINEL, base)
-        inb = (vals >= base[..., None]) & (vals < base[..., None] + span)
-        covered_mask = covered_mask | inb
-        bases.append(base)
-    covered = jnp.all(covered_mask)
-    return jnp.stack(bases, axis=-1).astype(jnp.int32), covered
+    chunks = (idx_pad // 128).astype(jnp.int32)
+    # (nt, 2, 128, ng, GROUP) -> (nt, ng, 2, GROUP*128)
+    blocks = chunks.reshape(n_tiles, 2, 128, ng, GROUP)
+    blocks = jnp.moveaxis(blocks, (3, 1), (1, 2)).reshape(
+        n_tiles, ng, 2, GROUP * 128
+    )
+    xs = jnp.sort(blocks, axis=-1)
+    first = jnp.concatenate(
+        [
+            jnp.ones(xs.shape[:-1] + (1,), bool),
+            xs[..., 1:] != xs[..., :-1],
+        ],
+        axis=-1,
+    )
+    keys = jnp.where(first, xs, SENTINEL)
+    wl = jnp.sort(keys, axis=-1)[..., :maxw]
+    counts = jnp.sum(first, axis=-1).astype(jnp.int32)
+    return wl, jnp.minimum(counts, maxw), jnp.max(counts) <= maxw
 
 
 def pad_window_lists(idx, n_pad: int):
     """Pad a sorted-space (N, J) list to (N_pad, J) and retarget every
-    padding/self entry at its tile's first atom, so each (tile, group)
-    stays inside <= NBANDS index bands. The retargeted entries are masked
-    by `pair_valid` downstream exactly like self-pairs."""
+    padding/self entry at its tile's first atom, so padding never adds
+    chunks to a worklist outside the tile. The retargeted entries are
+    masked by `pair_valid` downstream exactly like self-pairs."""
     n, j = idx.shape
     rows = jnp.arange(n_pad, dtype=jnp.int32)
     idx_p = jnp.full((n_pad, j), 0, jnp.int32)
@@ -98,12 +99,13 @@ def pad_window_lists(idx, n_pad: int):
 
 
 def _disp_kernel(
-    bands_ref, cell_ref, ext_ref, own_ref, idx_ref, o_ref, acc_ref, *, j
+    cell_ref, wl_ref, cnt_ref, ext_ref, own_ref, idx_ref, o_ref, acc_ref, *, j
 ):
-    """One tile: gather neighbor positions by band/chunk, subtract own,
-    minimum-image, write dispT (3, J, TN). Empty bands (SENTINEL base) are
-    skipped at run time — typical (tile, group)s touch ~3 of the 6 bands."""
-    t = pl.program_id(0)
+    """One tile: gather neighbor positions chunk by worklist chunk, subtract
+    own, minimum-image, write dispT (3, J, TN). The per-block item count
+    bounds a dynamic fori_loop — sentinel slots are never visited (a static
+    MAXW loop of pl.when-gated items measured ~1 ms slower at 32k: the
+    scalar branch per skipped slot is not free)."""
     ng = j // GROUP
     dtype = o_ref.dtype
 
@@ -118,25 +120,24 @@ def _disp_kernel(
         for h in range(TN // 128):
             il = ig[:, h * 128 : (h + 1) * 128]
             acc_ref[...] = jnp.zeros((3 * GROUP, 128), dtype)
-            for b in range(NBANDS):
-                base = bands_ref[(t * ng + g) * NBANDS + b]
 
-                @pl.when(base < SENTINEL)
-                def _(base=base, il=il):
-                    row0 = base // 128
-                    for k in range(BAND_CHUNKS):
-                        lane = il - (base + 128 * k)
-                        m = (lane >= 0) & (lane < 128)
-                        lane_c = jnp.where(m, lane, 0)
-                        for cc in range(3):
-                            src = ext_ref[cc, pl.ds(row0 + k, 1), :]  # (1,128)
-                            gat = jnp.take_along_axis(
-                                jnp.broadcast_to(src, (GROUP, 128)),
-                                lane_c,
-                                axis=1,
-                            )
-                            sl = slice(cc * GROUP, (cc + 1) * GROUP)
-                            acc_ref[sl, :] = jnp.where(m, gat, acc_ref[sl, :])
+            def body(w, _, g=g, h=h, il=il):
+                ck = wl_ref[0, g, h, w]
+                lane = il - ck * 128
+                m = (lane >= 0) & (lane < 128)
+                lane_c = jnp.where(m, lane, 0)
+                for cc in range(3):
+                    src = ext_ref[cc, pl.ds(ck, 1), :]  # (1, 128)
+                    gat = jnp.take_along_axis(
+                        jnp.broadcast_to(src, (GROUP, 128)),
+                        lane_c,
+                        axis=1,
+                    )
+                    sl = slice(cc * GROUP, (cc + 1) * GROUP)
+                    acc_ref[sl, :] = jnp.where(m, gat, acc_ref[sl, :])
+                return 0
+
+            jax.lax.fori_loop(0, cnt_ref[0, g, h], body, 0)
 
             for cc in range(3):
                 halves[cc].append(acc_ref[cc * GROUP : (cc + 1) * GROUP, :])
@@ -162,23 +163,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=())
-def window_disp(positions_sorted, idx_pad, bands, cell):
-    """dispT (3, J, N_pad) = minimum-imaged x[idx] - x[own], via the banded
-    window kernel. positions_sorted: (N_pad, 3) bin-sorted (padding rows
-    zero); idx_pad: (N_pad, J) from :func:`pad_window_lists`; bands from
-    :func:`band_bases`."""
+@jax.jit
+def window_disp(positions_sorted, idx_pad, wl, wl_counts, cell):
+    """dispT (3, J, N_pad) = minimum-imaged x[idx] - x[own], via the
+    worklist window kernel. positions_sorted: (N_pad, 3) bin-sorted
+    (padding rows zero); idx_pad: (N_pad, J) from :func:`pad_window_lists`;
+    wl, wl_counts from :func:`worklists`."""
     n_pad, _ = positions_sorted.shape
     j = idx_pad.shape[1]
     dtype = positions_sorted.dtype
     n_tiles = n_pad // TN
+    maxw = wl.shape[-1]
 
-    # component-major table, rows of 128 lanes, padded so any 128-aligned
-    # band start has BAND_CHUNKS full rows
-    rows = n_pad // 128 + BAND_CHUNKS
-    ext = jnp.zeros((3, rows * 128), dtype)
-    ext = ext.at[:, :n_pad].set(positions_sorted.T)
-    ext = ext.reshape(3, rows, 128)
+    # component-major table, rows of 128 lanes (N_pad is a multiple of 256)
+    rows = n_pad // 128
+    ext = positions_sorted.T.reshape(3, rows, 128)
 
     own = positions_sorted.T  # (3, N_pad)
     own = jnp.pad(own, ((0, 5), (0, 0)))  # (8, N_pad) sublane-aligned
@@ -189,22 +188,31 @@ def window_disp(positions_sorted, idx_pad, bands, cell):
     )
 
     idxT = idx_pad.T.astype(jnp.int32)  # (J, N_pad)
-    bands_flat = bands.reshape(-1)
 
     out = pl.pallas_call(
         functools.partial(_disp_kernel, j=j),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((3, rows, 128), lambda i, b, c: (0, 0, 0)),
-                pl.BlockSpec((8, TN), lambda i, b, c: (0, i)),
-                pl.BlockSpec((j, TN), lambda i, b, c: (0, i)),
+                pl.BlockSpec(
+                    (1, j // GROUP, 2, maxw),
+                    lambda i, c: (i, 0, 0, 0),
+                    memory_space=pltpu.MemorySpace.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, j // GROUP, 2),
+                    lambda i, c: (i, 0, 0),
+                    memory_space=pltpu.MemorySpace.SMEM,
+                ),
+                pl.BlockSpec((3, rows, 128), lambda i, c: (0, 0, 0)),
+                pl.BlockSpec((8, TN), lambda i, c: (0, i)),
+                pl.BlockSpec((j, TN), lambda i, c: (0, i)),
             ],
-            out_specs=pl.BlockSpec((3, j, TN), lambda i, b, c: (0, 0, i)),
+            out_specs=pl.BlockSpec((3, j, TN), lambda i, c: (0, 0, i)),
             scratch_shapes=[pltpu.VMEM((3 * GROUP, 128), dtype)],
         ),
         out_shape=jax.ShapeDtypeStruct((3, j, n_pad), dtype),
         interpret=_interpret(),
-    )(bands_flat, cell18, ext, own, idxT)
+    )(cell18, wl, wl_counts, ext, own, idxT)
     return out

@@ -96,3 +96,20 @@ def test_needs_rebuild(rng):
     moved = pos.at[0, 0].add(0.6)
     assert bool(needs_rebuild(nl, moved, cell, skin=1.0))
     assert not bool(needs_rebuild(nl, moved, cell, skin=1.3))
+
+
+def test_mirror_permutation_large_n():
+    """n > 46340: the composite int32 key would overflow (and int64 silently
+    truncates on TPU), so mirror_permutation switches to a two-key
+    lexicographic sort — verify it still maps every pair to its reverse."""
+    from mtp_tpu.ops.neighbors import mirror_permutation
+
+    n, j = 50176, 4
+    rows = np.arange(n, dtype=np.int32)[:, None]
+    offs = np.array([-2, -1, 1, 2], dtype=np.int32)[None, :]
+    idx = np.sort((rows + offs) % n, axis=1)  # symmetric ring lattice
+    mirror = np.asarray(mirror_permutation(jnp.asarray(idx)))
+    src = np.repeat(np.arange(n, dtype=np.int64), j)
+    dst = idx.reshape(-1).astype(np.int64)
+    # mirrored pair of flat p=(i->j) must be (j->i)
+    assert (src[mirror] == dst).all() and (dst[mirror] == src).all()

@@ -16,11 +16,12 @@ from mtp_tpu.md.state import init_state, thermalize
 from mtp_tpu.models.mtp import MTPModel, gather_displacements
 from mtp_tpu.ops.neighbors import build_sorted_neighbor_list, grid_shape
 from mtp_tpu.ops.window_disp import (
+    MAXW,
     TN,
-    band_bases,
     num_tiles,
     pad_window_lists,
     window_disp,
+    worklists,
 )
 
 
@@ -41,7 +42,7 @@ def alloy(mtp_level8_2spec):
 
 
 def test_window_disp_kernel_parity():
-    """The banded-window displacement kernel reproduces the XLA gather."""
+    """The worklist window displacement kernel reproduces the XLA gather."""
     pos, types, cell = make_lattice("fcc", 4.0, (6, 6, 6))
     n = len(pos)
     rng = np.random.default_rng(0)
@@ -56,7 +57,7 @@ def test_window_disp_kernel_parity():
     n_pad = swl.idx.shape[0]
     spos = pos[swl.order]
     spos_pad = jnp.zeros((n_pad, 3)).at[:n].set(spos)
-    dispT = window_disp(spos_pad, swl.window_idx, swl.bands, cell)
+    dispT = window_disp(spos_pad, swl.window_idx, swl.wl, swl.wl_counts, cell)
 
     ref = gather_displacements(spos, swl.idx[:n], cell, jnp.linalg.inv(cell))
     refT = jnp.moveaxis(ref, (0, 1, 2), (2, 1, 0))
@@ -95,17 +96,43 @@ def test_window_trajectory_matches_xla_path(alloy):
     )
 
 
-def test_window_band_coverage_flag():
-    """A list whose per-row sorted values are spaced wider than one band
-    (every 8-slot group then needs 8 disjoint bands) must trip the coverage
-    flag, not produce silent garbage. (Plain random lists do NOT trip it:
-    row-sorting concentrates each slot-octile by order statistics.)"""
+def test_window_worklist_overflow_flag():
+    """A list whose per-group indices touch more than MAXW distinct chunks
+    must trip the coverage flag, not produce silent garbage. (Physical
+    row-sorted lists touch ~15: order statistics concentrate each slot
+    group; here every slot lands in its own far-apart chunk and each
+    128-lane half sees > MAXW chunks.)"""
     n = 65536
     rng = np.random.default_rng(1)
-    idx = (
-        np.arange(56, dtype=np.int32)[None, :] * 1170
-        + rng.integers(0, 64, size=(n, 56)).astype(np.int32)
-    ) % n
-    idx_pad = pad_window_lists(jnp.sort(jnp.asarray(idx), axis=1), n)
-    _, covered = band_bases(idx_pad, num_tiles(n))
+    # uniform random (unsorted): each (group, half) block's 1024 indices
+    # spread over ~hundreds of distinct chunks >> MAXW
+    idx = rng.integers(0, n, size=(n, 56)).astype(np.int32)
+    idx_pad = pad_window_lists(jnp.asarray(idx), n)
+    _, _, covered = worklists(idx_pad, num_tiles(n))
     assert not bool(covered)
+
+
+def test_window_worklists_cover_all_pairs():
+    """Every window_idx entry appears in its block's worklist (the kernel's
+    correctness precondition), on a realistic thermal config."""
+    pos, types, cell = make_lattice("fcc", 4.0, (8, 8, 8))
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(pos + rng.normal(0, 0.1, pos.shape))
+    cutoff = 5.5
+    grid = grid_shape(np.asarray(cell), cutoff)
+    swl = build_sorted_neighbor_list(
+        pos, jnp.asarray(cell), cutoff, max_neighbors=56, grid=grid
+    )
+    assert not bool(swl.overflow)
+    wi = np.asarray(swl.window_idx)
+    wl = np.asarray(swl.wl)
+    n_pad, j = wi.shape
+    nt = num_tiles(n_pad)
+    blocks = (wi // 128).reshape(nt, 2, 128, j // 8, 8)
+    blocks = np.moveaxis(blocks, (3, 1), (1, 2)).reshape(nt, j // 8, 2, -1)
+    for t in range(nt):
+        for g in range(j // 8):
+            for h in range(2):
+                need = set(np.unique(blocks[t, g, h]))
+                have = set(wl[t, g, h][wl[t, g, h] < 2**24])
+                assert need <= have, (t, g, h, need - have)
