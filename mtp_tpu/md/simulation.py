@@ -65,8 +65,11 @@ class Simulation:
     grid_margin: float = 1.0
     # banded-window disp path (bin-sorted atoms, in-kernel gather): "auto"
     # enables it with the pallas backend when the bin grid supports the
-    # 3-band geometry; True/False force it.
+    # worklist geometry; True/False force it.
     window: str | bool = "auto"
+    # in-kernel Newton give-back (octant-aligned slots + worklist kernel,
+    # ops/window_giveback.py); requires the window path. "auto" follows it.
+    giveback: str | bool = "auto"
 
     def _resolved_backend(self) -> str:
         if self.backend == "auto":
@@ -78,9 +81,13 @@ class Simulation:
             use = self._resolved_backend() == "pallas"
         else:
             use = bool(self.window)
-        # the 3-band coverage argument needs a full 3x3x3 stencil and
+        # the worklist coverage argument needs a full 3x3x3 stencil and
         # 8-aligned slot groups
         return use and min(grid) >= 3 and self.max_neighbors % 8 == 0
+
+    def _use_giveback(self, grid: tuple) -> bool:
+        use = True if self.giveback == "auto" else bool(self.giveback)
+        return use and self._use_window(grid)
 
     def force_fn_window(
         self, swl: SortedNeighborList, types, compute_virial=None, dtype=jnp.float32
@@ -167,6 +174,7 @@ class Simulation:
                 self.model.cutoff + self.skin,
                 max_neighbors=max_neighbors,
                 grid=grid,
+                align_slots=self._use_giveback(grid),
             )
         return build_neighbor_list(
             state.positions,
@@ -214,6 +222,7 @@ class Simulation:
             nl = build_sorted_neighbor_list(
                 state.positions, state.cell, cutoff,
                 max_neighbors=max_neighbors, grid=grid,
+                align_slots=self._use_giveback(grid),
             )
         else:
             nl = build_neighbor_list(

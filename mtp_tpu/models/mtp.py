@@ -378,11 +378,21 @@ def mtp_energy_forces_window(
     )
     (pair_tT,) = vjp(jnp.ones_like(site_e))
 
-    pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)
-    flat = pair_t.reshape(-1, 3)
-    t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
-    t_ji = t_ji * maskf.T[..., None].astype(dtype)
-    forces_s = jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
+    if swl.gb is not None:
+        # in-kernel Newton give-back: no (N*J)-row mirror gather, no
+        # moveaxis relayouts (ops/window_giveback.py). pair_tT's masked
+        # slots are zero, so plain slot-sums need no extra mask.
+        from mtp_tpu.ops.window_giveback import window_giveback
+
+        f_own = jnp.sum(pair_tT, axis=1)  # (3, N_pad)
+        f_give = window_giveback(pair_tT, swl.gb)
+        forces_s = (f_own - f_give).T
+    else:
+        pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)
+        flat = pair_t.reshape(-1, 3)
+        t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
+        t_ji = t_ji * maskf.T[..., None].astype(dtype)
+        forces_s = jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
     forces = _gather_rows3(forces_s, swl.inv_order)  # user order, (N, 3)
 
     out = dict(
@@ -391,9 +401,18 @@ def mtp_energy_forces_window(
         forces=forces,
     )
     if compute_virial:
-        r = jnp.moveaxis(dispT, (0, 1, 2), (2, 1, 0)) * maskf.T[..., None]
-        vatom = _virial_tally(pair_t, r.astype(dtype))
-        out["virial"] = jnp.sum(vatom, axis=0)
+        # global virial straight from the transposed layouts (the per-atom
+        # tally would force (N, J, 3) relayouts the kernel path avoids)
+        rT = dispT * maskf[None]
+        pxx = -jnp.sum(pair_tT[0] * rT[0])
+        pyy = -jnp.sum(pair_tT[1] * rT[1])
+        pzz = -jnp.sum(pair_tT[2] * rT[2])
+        pxy = -0.5 * jnp.sum(pair_tT[0] * rT[1] + pair_tT[1] * rT[0])
+        pxz = -0.5 * jnp.sum(pair_tT[0] * rT[2] + pair_tT[2] * rT[0])
+        pyz = -0.5 * jnp.sum(pair_tT[1] * rT[2] + pair_tT[2] * rT[1])
+        out["virial"] = jnp.stack([pxx, pyy, pzz, pxy, pxz, pyz]).astype(
+            forces.dtype
+        )
     else:
         out["virial"] = jnp.zeros((6,), dtype=forces.dtype)
     return out

@@ -329,6 +329,7 @@ class SortedNeighborList:
     # when built with align_slots=False
     rev: jax.Array | None = None  # (N_pad, J) reverse slots
     aligned: jax.Array | None = None  # (N_pad, J) aligned-at-this-end flags
+    gb: dict | None = None  # give-back kernel metadata (ops/window_giveback)
 
 
 def build_sorted_neighbor_list(
@@ -338,7 +339,7 @@ def build_sorted_neighbor_list(
     *,
     max_neighbors: int,
     grid: tuple,
-    align_slots: bool = True,
+    align_slots: bool = False,
 ):
     """Cell-list build over bin-sorted atoms + banded-window metadata.
 
@@ -393,6 +394,12 @@ def build_sorted_neighbor_list(
         mirror = mirror_permutation(idx_pad)
     window_idx = pad_window_lists(idx_pad, n_pad)
     wl, wl_counts, covered = worklists(window_idx, num_tiles(n_pad))
+    gb = None
+    if align_slots:
+        from mtp_tpu.ops.window_giveback import giveback_metadata
+
+        gb = giveback_metadata(idx_pad, window_idx, rev, num_tiles(n_pad))
+        covered = covered & gb.pop("covered")
     return SortedNeighborList(
         order=order,
         inv_order=inv_order,
@@ -405,4 +412,5 @@ def build_sorted_neighbor_list(
         reference_positions=positions,
         rev=rev,
         aligned=aligned,
+        gb=gb,
     )

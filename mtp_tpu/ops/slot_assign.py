@@ -31,22 +31,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _mix(x):
+    """int32 hash (injective-ish); used for randomized symmetric-consistent
+    tie-breaking of exactly-zero displacement components."""
+    x = x * jnp.int32(-1640531527)  # 2654435761 mod 2^32, Knuth
+    x = x ^ (x >> 15)
+    x = x * jnp.int32(-862048943)
+    return x ^ (x >> 13)
+
+
 def octant_classes(disp, idx):
     """Per-pair octant class (N, J) int32 in 0..7; self/pad entries get 8.
 
     disp: (N, J, 3) minimum-image displacements to each neighbor.
     idx: (N, J) neighbor indices (pads = own row).
 
-    Zero components are tie-broken by index order so the two ends of a pair
-    always see complementary bits (c_ji = 7 - c_ij).
+    Zero components are tie-broken by a hash comparison so the two ends of
+    a pair still see complementary bits (c_ji = 7 - c_ij) — minimum-image
+    displacements are bitwise antisymmetric, so nonzero components agree
+    exactly. The hash (not plain index order) matters on perfect lattices:
+    axis-aligned shells have exact zeros, and a systematic tie-break piles
+    them into the same octants (measured 11 misaligned directions/atom at
+    J=64 vs the spill capacity of 8); a randomized one spreads them.
     """
     n, j = idx.shape
     rows = jnp.arange(n, dtype=idx.dtype)[:, None]
     real = idx != rows
+    hi = _mix(rows)
+    hj = _mix(idx)
+    tie = (hi < hj) | ((hi == hj) & (rows < idx))
     bits = []
     for c in range(3):
         x = disp[..., c]
-        bits.append((x > 0) | ((x == 0) & (rows < idx)))
+        bits.append((x > 0) | ((x == 0) & tie))
     cls = 4 * bits[0].astype(jnp.int32) + 2 * bits[1] + bits[2]
     return jnp.where(real, cls, 8)
 

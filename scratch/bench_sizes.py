@@ -16,6 +16,9 @@ from mtp_tpu.md.state import init_state, thermalize
 from mtp_tpu.models.mtp import MTPModel
 
 reps = {"160k": (20, 20, 100), "1m": (63, 63, 63)}[sys.argv[1]]
+# 1M: the max-degree tail over 30x more atoms exceeds J=56 once thermal
+# disorder develops (measured); 64 holds
+J = 64
 n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 
 m = make_mtp(16, species_count=1, seed=0)
@@ -26,13 +29,13 @@ print(f"N = {n}")
 state = init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32)
 state = thermalize(jax.random.PRNGKey(0), state, 300.0)
 
-sim = Simulation(model, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
+sim = Simulation(model, max_neighbors=J, skin=0.6, steps_per_rebuild=30,
                  compute_virial=False, window=True)
 
 # equilibrate through the thermalization transient with short rebuild
 # intervals (the first ~30 post-thermalize steps have a fatter max-
 # displacement tail that trips the Verlet staleness flag at spb=30)
-eq = Simulation(model, max_neighbors=56, skin=0.6, steps_per_rebuild=10,
+eq = Simulation(model, max_neighbors=J, skin=0.6, steps_per_rebuild=10,
                 compute_virial=False, window=True)
 state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
 assert not bool(ovf), "equilibration overflow"
