@@ -385,7 +385,7 @@ def mtp_energy_forces_window(
         from mtp_tpu.ops.window_giveback import window_giveback
 
         f_own = jnp.sum(pair_tT, axis=1)  # (3, N_pad)
-        f_give = window_giveback(pair_tT, swl.gb)
+        f_give = window_giveback(pair_tT, swl.wl, swl.gb)
         forces_s = (f_own - f_give).T
     else:
         pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)

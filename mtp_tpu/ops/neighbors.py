@@ -142,8 +142,13 @@ def build_neighbor_list(
     # (dims with <3 bins use an all-bins stencil, so no constraint there)
     widths = 1.0 / jnp.linalg.norm(inv_cell, axis=1)
     checked = jnp.asarray([g >= 3 for g in grid])
+    # relative epsilon: grid_shape picks g = floor(w/cutoff), so w/g == cutoff
+    # exactly for commensurate boxes (252 A / 45 bins at cutoff 5.6) and f32
+    # rounding must not trip the flag; 1e-6 relative (~6e-6 A) is far below
+    # any physical displacement scale
     geom_overflow = jnp.any(
-        checked & (widths / jnp.asarray(grid, widths.dtype) < cutoff)
+        checked
+        & (widths / jnp.asarray(grid, widths.dtype) < cutoff * (1.0 - 1e-6))
     )
 
     dims = jnp.asarray(grid)
@@ -160,10 +165,10 @@ def build_neighbor_list(
     # capacity: atoms per bin, padded (uniform-density estimate; callers with
     # concentrated occupancy — e.g. halo-extended slabs — pass bin_capacity).
     # Overflow is flagged, so a tight estimate is safe.
-    # 2x mean + 8 covers thermal density fluctuations (1.5x + 4 was measured
-    # to overflow at 32k/300 K with ~14-atom bins); overflow is flagged and
-    # callers regrow, so the estimate only sets the candidate width
-    cap = bin_capacity or max(1, int(np.ceil(2.0 * n / ncells)) + 8)
+    # 2.2x mean + 12 covers thermal density fluctuations AND perfect-lattice
+    # commensurability clustering (a 63^3 fcc lattice on a 45^3 grid packs
+    # 2x2x2 cells = 32 atoms into some bins vs a 2x-mean cap of 30)
+    cap = bin_capacity or max(1, int(np.ceil(2.2 * n / ncells)) + 12)
     nbins = ncells + (1 if real is not None else 0)
     counts = jnp.zeros((nbins,), jnp.int32).at[sorted_bin].add(1)
     cell_overflow = jnp.max(counts[:ncells]) > cap
@@ -372,34 +377,35 @@ def build_sorted_neighbor_list(
     idx_pad = idx_pad.at[:n].set(nl.idx)
     idx_pad = jnp.sort(idx_pad, axis=1)
     rev = aligned = None
-    if align_slots:
-        # octant-aligned slot layout: makes the Newton give-back's source
-        # sublane a static flip of the destination sublane for ~95% of
-        # directions (ops/slot_assign.py), the enabler for the in-kernel
-        # give-back gather
-        from mtp_tpu.models.mtp import gather_displacements
-        from mtp_tpu.ops.slot_assign import (
-            assign_slots,
-            octant_classes,
-            reverse_slots,
-        )
-
-        pos_pad = jnp.zeros((n_pad, 3), spos.dtype).at[:n].set(spos)
-        disp = gather_displacements(pos_pad, idx_pad, cell, inv_cell)
-        cls = octant_classes(disp, idx_pad)
-        perm, aligned = assign_slots(idx_pad, cls)
-        idx_pad = jnp.take_along_axis(idx_pad, perm, axis=1)
-        mirror, rev = reverse_slots(idx_pad)
-    else:
-        mirror = mirror_permutation(idx_pad)
     window_idx = pad_window_lists(idx_pad, n_pad)
+    # worklists enumerate distinct chunks per (tile, 128-lane half) — a set
+    # over each block's J*128 indices, INVARIANT under per-row slot
+    # permutation, so one build serves both the pre-assignment displacement
+    # kernel below and the final layout
     wl, wl_counts, covered = worklists(window_idx, num_tiles(n_pad))
     gb = None
     if align_slots:
+        from mtp_tpu.ops.window_disp import window_disp
         from mtp_tpu.ops.window_giveback import giveback_metadata
+        from mtp_tpu.ops.slot_assign import (
+            assign_slots,
+            octant_classes_T,
+            reverse_slots,
+        )
 
-        gb = giveback_metadata(idx_pad, window_idx, rev, num_tiles(n_pad))
+        # displacements through the window kernel, not the N*J-row XLA
+        # gather (~90 ms at 160k, ~4.5 ms at 32k; the kernel is ~5x faster)
+        pos_pad = jnp.zeros((n_pad, 3), spos.dtype).at[:n].set(spos)
+        dispT = window_disp(pos_pad, window_idx, wl, wl_counts, cell)
+        cls = octant_classes_T(dispT, idx_pad)
+        perm, aligned = assign_slots(idx_pad, cls)
+        idx_pad = jnp.take_along_axis(idx_pad, perm, axis=1)
+        window_idx = jnp.take_along_axis(window_idx, perm, axis=1)
+        mirror, rev = reverse_slots(idx_pad)
+        gb = giveback_metadata(idx_pad, window_idx, rev, num_tiles(n_pad), wl)
         covered = covered & gb.pop("covered")
+    else:
+        mirror = mirror_permutation(idx_pad)
     return SortedNeighborList(
         order=order,
         inv_order=inv_order,

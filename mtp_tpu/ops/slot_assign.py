@@ -40,6 +40,28 @@ def _mix(x):
     return x ^ (x >> 13)
 
 
+def octant_classes_T(dispT, idx):
+    """octant_classes over the kernel's transposed displacement layout.
+
+    dispT: (3, J, N) from ops/window_disp.window_disp (the rebuild computes
+    displacements through the kernel instead of the N*J-row XLA gather —
+    ~90 ms at 160k). idx: (N, J). Returns cls (N, J).
+    """
+    n, j = idx.shape
+    rowsT = jnp.arange(n, dtype=idx.dtype)[None, :]
+    idxT = idx.T
+    realT = idxT != rowsT
+    hi = _mix(rowsT)
+    hj = _mix(idxT)
+    tie = (hi < hj) | ((hi == hj) & (rowsT < idxT))
+    bits = []
+    for c in range(3):
+        x = dispT[c]
+        bits.append((x > 0) | ((x == 0) & tie))
+    clsT = 4 * bits[0].astype(jnp.int32) + 2 * bits[1] + bits[2]
+    return jnp.where(realT, clsT, 8).T
+
+
 def octant_classes(disp, idx):
     """Per-pair octant class (N, J) int32 in 0..7; self/pad entries get 8.
 

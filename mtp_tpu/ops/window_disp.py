@@ -5,20 +5,21 @@ the force evaluation: ~4.5 ms/step at 32k x 56 on v5e, pure gather-row-count
 cost) with a Pallas kernel that exploits spatial sorting:
 
 * Atoms are sorted by cell-list bin (x-major). The neighbors of any
-  (256-atom tile, 8-slot group, 128-lane half) then touch only a handful of
-  128-atom chunks of the sorted order (measured at 32k/14^3: ~15 distinct
-  chunks, max 22) because row-sorted slot groups concentrate by order
-  statistics.
+  (256-atom tile, 128-lane half) then touch only a handful of 128-atom
+  chunks of the sorted order (measured: ~17 distinct chunks, max 23 at
+  32k/160k/1M) because sorted tiles have spatially local neighborhoods.
 * At rebuild time :func:`worklists` enumerates those chunks exactly — a
-  per-(tile, group, half) list of active chunk ids, padded with a sentinel.
-  Unlike the earlier contiguous-band scheme this makes no geometric
-  assumption about the bin grid (anisotropic boxes spread each stencil
-  x-layer over several disjoint index runs); capacity overflow is flagged,
-  never assumed away.
+  per-(tile, half) ascending list, SENTINEL-padded, with a count for the
+  kernel's dynamic fori bound. No geometric assumption about the bin grid
+  (anisotropic boxes spread each stencil x-layer over several disjoint
+  index runs); capacity overflow is flagged, never assumed away.
 * The kernel holds the whole component-major position table in VMEM
-  (3*N_pad*4 B: 384 kB at 32k, 12 MB at 1M) and resolves each pair by a
-  per-sublane lane gather (`jnp.take_along_axis(axis=1)`, a native VPU
-  shuffle) within each worklist chunk, select-merged by range masks.
+  (3*N_pad*4 B: 384 kB at 32k, 12 MB at 1M) and resolves each item with a
+  single broadcast + per-sublane lane gather over the full (J, 128) block
+  (`jnp.take_along_axis(axis=1)`, a native VPU shuffle), select-merged by
+  range masks. Item granularity matters: per-(tile, group, half) items
+  measured ~6x more fori iterations at ~100 cycles scalar latency each
+  for the same vector work.
 
 The reference has no analog — LAMMPS hands the pair style a finished
 neighbor list and pays the gather as cache misses (pair_mtp_kokkos.cpp:
@@ -35,8 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TN = 256  # atoms per tile (must match the megakernel tile for shared padding)
-GROUP = 8  # neighbor slots per worklist group
-MAXW = 32  # worklist capacity: distinct 128-chunks per (tile, group, half)
+GROUP = 8  # slot-group width (alignment unit shared with the giveback path)
+MAXW = 40  # worklist capacity: distinct 128-chunks per (tile, half)
 SENTINEL = 2**24  # marks an unused worklist slot
 
 
@@ -45,31 +46,27 @@ def num_tiles(n_pad: int) -> int:
 
 
 def worklists(idx_pad, n_tiles: int, maxw: int = MAXW):
-    """Active source chunks per (tile, slot-group, 128-lane half).
+    """Active source chunks per (tile, 128-lane half).
 
     Args:
-      idx_pad: (N_pad, J) int32 sorted-space neighbor indices, J a multiple
-        of 8; padding entries must already point inside their tile (see
+      idx_pad: (N_pad, J) int32 sorted-space neighbor indices; padding
+        entries must already point inside their tile (see
         :func:`pad_window_lists`).
       n_tiles: N_pad // TN.
       maxw: static worklist capacity.
 
     Returns (wl, counts, covered):
-      wl: (n_tiles, J//8, 2, maxw) int32 sorted ascending chunk ids,
+      wl: (n_tiles, 2, maxw) int32 sorted ascending chunk ids,
         SENTINEL-padded.
-      counts: (n_tiles, J//8, 2) int32 number of real items per block (the
+      counts: (n_tiles, 2) int32 number of real items per block (the
         kernel's dynamic loop bound — sentinel slots are never visited).
       covered: () bool — False if any block has more than `maxw` distinct
         chunks (treat like neighbor overflow).
     """
     n_pad, j = idx_pad.shape
-    ng = j // GROUP
     chunks = (idx_pad // 128).astype(jnp.int32)
-    # (nt, 2, 128, ng, GROUP) -> (nt, ng, 2, GROUP*128)
-    blocks = chunks.reshape(n_tiles, 2, 128, ng, GROUP)
-    blocks = jnp.moveaxis(blocks, (3, 1), (1, 2)).reshape(
-        n_tiles, ng, 2, GROUP * 128
-    )
+    blocks = chunks.reshape(n_tiles, 2, 128, j)
+    blocks = jnp.moveaxis(blocks, 3, 2).reshape(n_tiles, 2, j * 128)
     xs = jnp.sort(blocks, axis=-1)
     first = jnp.concatenate(
         [
@@ -98,65 +95,49 @@ def pad_window_lists(idx, n_pad: int):
     return jnp.where(self_or_pad, jnp.minimum(tile_first, n - 1)[:, None], idx_p)
 
 
-def _disp_kernel(
-    cell_ref, wl_ref, cnt_ref, ext_ref, own_ref, idx_ref, o_ref, acc_ref, *, j
-):
-    """One tile: gather neighbor positions chunk by worklist chunk, subtract
-    own, minimum-image, write dispT (3, J, TN). The per-block item count
-    bounds a dynamic fori_loop — sentinel slots are never visited (a static
-    MAXW loop of pl.when-gated items measured ~1 ms slower at 32k: the
-    scalar branch per skipped slot is not free)."""
-    ng = j // GROUP
+def _disp_kernel(cell_ref, wl_ref, cnt_ref, ext_ref, own_ref, idx_ref, o_ref, acc_ref, *, j):
+    """One tile: per half, gather neighbor positions chunk by worklist
+    chunk over the full (J, 128) block, subtract own, minimum-image, write
+    dispT (3, J, TN)."""
     dtype = o_ref.dtype
 
     # cell rows / inverse-cell rows as SMEM scalars (row-vector convention)
     c = [[cell_ref[3 * r + k] for k in range(3)] for r in range(3)]
     ic = [[cell_ref[9 + 3 * r + k] for k in range(3)] for r in range(3)]
 
-    comps = [[], [], []]
-    for g in range(ng):
-        ig = idx_ref[g * GROUP : (g + 1) * GROUP, :]  # (8, TN)
-        halves = [[], [], []]
-        for h in range(TN // 128):
-            il = ig[:, h * 128 : (h + 1) * 128]
-            acc_ref[...] = jnp.zeros((3 * GROUP, 128), dtype)
+    for h in range(TN // 128):
+        il = idx_ref[:, h * 128 : (h + 1) * 128]  # (J, 128)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-            def body(w, _, g=g, h=h, il=il):
-                ck = wl_ref[0, g, h, w]
-                lane = il - ck * 128
-                m = (lane >= 0) & (lane < 128)
-                lane_c = jnp.where(m, lane, 0)
-                for cc in range(3):
-                    src = ext_ref[cc, pl.ds(ck, 1), :]  # (1, 128)
-                    gat = jnp.take_along_axis(
-                        jnp.broadcast_to(src, (GROUP, 128)),
-                        lane_c,
-                        axis=1,
-                    )
-                    sl = slice(cc * GROUP, (cc + 1) * GROUP)
-                    acc_ref[sl, :] = jnp.where(m, gat, acc_ref[sl, :])
-                return 0
-
-            jax.lax.fori_loop(0, cnt_ref[0, g, h], body, 0)
-
+        def body(w, _, h=h, il=il):
+            ck = wl_ref[0, h, w]
+            lane = il - ck * 128
+            m = (lane >= 0) & (lane < 128)
+            lane_c = jnp.where(m, lane, 0)
             for cc in range(3):
-                halves[cc].append(acc_ref[cc * GROUP : (cc + 1) * GROUP, :])
-        for cc in range(3):
-            comps[cc].append(jnp.concatenate(halves[cc], axis=1))  # (8, TN)
+                src = ext_ref[cc, pl.ds(ck, 1), :]  # (1, 128)
+                gat = jnp.take_along_axis(
+                    jnp.broadcast_to(src, (j, 128)), lane_c, axis=1
+                )
+                sl = slice(cc * j, (cc + 1) * j)
+                acc_ref[sl, :] = jnp.where(m, gat, acc_ref[sl, :])
+            return 0
 
-    nbr = [jnp.concatenate(comps[cc], axis=0) for cc in range(3)]  # (J, TN)
-    own = [own_ref[cc, :][None, :] for cc in range(3)]  # (1, TN) each
-    d = [nbr[cc] - own[cc] for cc in range(3)]
-    # minimum image, unrolled (see models/mtp.py minimum_image)
-    f = [
-        d[0] * ic[0][a] + d[1] * ic[1][a] + d[2] * ic[2][a] for a in range(3)
-    ]
-    f = [fa - jnp.round(fa) for fa in f]
-    out = [
-        f[0] * c[0][a] + f[1] * c[1][a] + f[2] * c[2][a] for a in range(3)
-    ]
-    for cc in range(3):
-        o_ref[cc] = out[cc]
+        jax.lax.fori_loop(0, cnt_ref[0, 0, h], body, 0)
+
+        own = [
+            own_ref[cc, pl.ds(h * 128, 128)][None, :] for cc in range(3)
+        ]  # (1, 128) each
+        d = [acc_ref[cc * j : (cc + 1) * j, :] - own[cc] for cc in range(3)]
+        # minimum image, unrolled (see models/mtp.py minimum_image)
+        f = [
+            d[0] * ic[0][a] + d[1] * ic[1][a] + d[2] * ic[2][a]
+            for a in range(3)
+        ]
+        f = [fa - jnp.round(fa) for fa in f]
+        for cc in range(3):
+            out = f[0] * c[0][cc] + f[1] * c[1][cc] + f[2] * c[2][cc]
+            o_ref[cc, :, pl.ds(h * 128, 128)] = out
 
 
 def _interpret() -> bool:
@@ -196,12 +177,12 @@ def window_disp(positions_sorted, idx_pad, wl, wl_counts, cell):
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, j // GROUP, 2, maxw),
-                    lambda i, c: (i, 0, 0, 0),
+                    (1, 2, maxw),
+                    lambda i, c: (i, 0, 0),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
                 pl.BlockSpec(
-                    (1, j // GROUP, 2),
+                    (1, 1, 2),
                     lambda i, c: (i, 0, 0),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
@@ -210,9 +191,9 @@ def window_disp(positions_sorted, idx_pad, wl, wl_counts, cell):
                 pl.BlockSpec((j, TN), lambda i, c: (0, i)),
             ],
             out_specs=pl.BlockSpec((3, j, TN), lambda i, c: (0, 0, i)),
-            scratch_shapes=[pltpu.VMEM((3 * GROUP, 128), dtype)],
+            scratch_shapes=[pltpu.VMEM((3 * j, 128), dtype)],
         ),
         out_shape=jax.ShapeDtypeStruct((3, j, n_pad), dtype),
         interpret=_interpret(),
-    )(cell18, wl, wl_counts, ext, own, idxT)
+    )(cell18, wl, wl_counts.reshape(n_tiles, 1, 2), ext, own, idxT)
     return out

@@ -46,7 +46,6 @@ from mtp_tpu.ops.window_disp import GROUP, SENTINEL, TN
 
 BC = 4  # chunks per band block (BC*128 = 512 atoms)
 NB = 32  # band blocks per tile (32k needs ~11, 160k ~25; overflow flagged)
-MAXI = 40  # chunk items per (tile, half) (measured max 23 at 32k/160k)
 
 
 def flip_perm(j: int):
@@ -55,7 +54,7 @@ def flip_perm(j: int):
     return 8 * (s // 8) + (7 - s % 8)
 
 
-def giveback_metadata(idx, window_idx, rev, n_tiles: int):
+def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl):
     """Rebuild-time metadata for :func:`window_giveback`.
 
     Args:
@@ -66,10 +65,13 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int):
         slots octant-aligned (build with align_slots=True).
       rev: (N_pad, J) reverse slots (ops/slot_assign.reverse_slots).
       n_tiles: N_pad // TN.
+      wl: (n_tiles, 2, MAXW) per-(tile, half) chunk worklists from
+        window_disp.worklists — the give-back touches exactly the same
+        source chunks as the displacement gather.
 
     Returns a dict with the kernel operands (bases, off, wl, ilF, o2F), the
     compacted spill lists (sp_dst, sp_src), and `covered` (False if any
-    static capacity — bands, items, spills — would be exceeded; treat like
+    static capacity — bands, spills — would be exceeded; treat like
     neighbor overflow).
     """
     n_pad, j = window_idx.shape
@@ -78,22 +80,9 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int):
     s8 = (jnp.arange(j, dtype=jnp.int32) % 8)[None, :]
     elig = real & ((rev % 8) == (7 - s8))
 
-    # ---- chunk worklists per (tile, half), ascending, SENTINEL-padded
-    chunks = (window_idx // 128).astype(jnp.int32)
-    blocks = chunks.reshape(n_tiles, 2, 128, j)
-    blocks = jnp.moveaxis(blocks, 3, 2).reshape(n_tiles, 2, j * 128)
-    xs = jnp.sort(blocks, axis=-1)
-    first = jnp.concatenate(
-        [jnp.ones(xs.shape[:-1] + (1,), bool), xs[..., 1:] != xs[..., :-1]],
-        axis=-1,
-    )
-    keys = jnp.where(first, xs, SENTINEL)
-    wl = jnp.sort(keys, axis=-1)[..., :MAXI]
-    counts = jnp.sum(first, axis=-1)
-    items_ok = jnp.max(counts) <= MAXI
-
     # ---- per-tile band table: distinct superchunks, largest-padded
-    sct = (wl // BC).reshape(n_tiles, 2 * MAXI)
+    maxi = wl.shape[-1]
+    sct = (wl // BC).reshape(n_tiles, 2 * maxi)
     sct = jnp.where(sct >= SENTINEL // BC, -1, sct)
     bs = jnp.sort(sct, axis=1)
     bfirst = (
@@ -143,18 +132,20 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int):
     spills_ok = jnp.sum(spill) <= k_spill
 
     return dict(
-        bases=bases,
+        # 1-D: a 2-D (nt, NB) scalar-prefetch operand is padded to 128
+        # lanes per row in SMEM (3908 tiles at 1M atoms -> 2 MB > the 1 MB
+        # SMEM budget); flat packing is dense
+        bases=bases.reshape(-1),
         off=off,
-        wl=wl,
         ilF=ilF,
         o2F=o2F,
         sp_dst=sp_dst,
         sp_src=sp_src,
-        covered=items_ok & bands_ok & spills_ok,
+        covered=bands_ok & spills_ok,
     )
 
 
-def _gb_kernel(bases_ref, wl_ref, off_ref, win_ref, il_ref, o2_ref, o_ref, acc_ref, *, j):
+def _gb_kernel(bases_ref, wl_ref, off_ref, win_ref, il_ref, o2_ref, o_ref, acc_ref, *, j, nb):
     """One (tile, band) step: per half, loop the band's chunk items; per
     item an 8-iteration source-octile mask loop resolves every pair of the
     (J, 128) block whose neighbor lives in that chunk."""
@@ -165,7 +156,7 @@ def _gb_kernel(bases_ref, wl_ref, off_ref, win_ref, il_ref, o2_ref, o_ref, acc_r
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    sc = bases_ref[t, b]
+    sc = bases_ref[t * nb + b]
     for h in range(TN // 128):
         w0 = off_ref[0, h, b]
         w1 = off_ref[0, h, b + 1]
@@ -218,25 +209,27 @@ def _interpret() -> bool:
 
 
 @jax.jit
-def window_giveback(pair_T, meta):
+def window_giveback(pair_T, wl, meta):
     """F_give (3, N_pad): slot-summed mirrored pair forces (aligned
     directions via the kernel + spills via compact XLA gather/scatter).
 
     pair_T: (3, J, N_pad) per-pair forces from the megakernel backward
-    (masked slots are zero). meta: dict from :func:`giveback_metadata`.
+    (masked slots are zero). wl: the (nt, 2, MAXW) chunk worklists shared
+    with the displacement kernel. meta: dict from
+    :func:`giveback_metadata`.
     """
     _, j, n_pad = pair_T.shape
     n_tiles = n_pad // TN
     dtype = pair_T.dtype
 
     out = pl.pallas_call(
-        functools.partial(_gb_kernel, j=j),
+        functools.partial(_gb_kernel, j=j, nb=NB),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles, NB),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 2, MAXI),
+                    (1, 2, wl.shape[-1]),
                     lambda t, b, P: (t, 0, 0),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
@@ -245,7 +238,9 @@ def window_giveback(pair_T, meta):
                     lambda t, b, P: (t, 0, 0),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
-                pl.BlockSpec((3, j, BC * 128), lambda t, b, P: (0, 0, P[t, b])),
+                pl.BlockSpec(
+                    (3, j, BC * 128), lambda t, b, P: (0, 0, P[t * NB + b])
+                ),
                 pl.BlockSpec((j, TN), lambda t, b, P: (0, t)),
                 pl.BlockSpec((j, TN), lambda t, b, P: (0, t)),
             ],
@@ -254,7 +249,7 @@ def window_giveback(pair_T, meta):
         ),
         out_shape=jax.ShapeDtypeStruct((3, n_pad), dtype),
         interpret=_interpret(),
-    )(meta["bases"], meta["wl"], meta["off"], pair_T, meta["ilF"], meta["o2F"])
+    )(meta["bases"], wl, meta["off"], pair_T, meta["ilF"], meta["o2F"])
 
     # spills: compact gather from the flat (J*N [+zero]) table + a small
     # row scatter-add (padding rows land on the discarded n_pad slot)

@@ -26,9 +26,12 @@ n = len(pos)
 state = init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32)
 state = thermalize(jax.random.PRNGKey(0), state, 300.0)
 
+import os
+J = int(os.environ.get("BW_J", 56))
+GB = os.environ.get("BW_GB", "0") == "1"
 sim = Simulation(
-    model, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
-    compute_virial=False, window=WINDOW,
+    model, max_neighbors=J, skin=0.6, steps_per_rebuild=30,
+    compute_virial=False, window=WINDOW, giveback=GB,
 )
 
 def run(state):
@@ -48,4 +51,4 @@ for rep in range(3):
     best = min(best, dt)
     print(f"rep {rep}: {dt*1e3/N_STEPS:.3f} ms/step, {n*N_STEPS/dt:,.0f} atom-steps/s")
     assert not bool(overflow)
-print(f"window={WINDOW} BEST: {best*1e3/N_STEPS:.3f} ms/step, {n*N_STEPS/best:,.0f} atom-steps/s")
+print(f"window={WINDOW} J={J} gb={GB} BEST: {best*1e3/N_STEPS:.3f} ms/step, {n*N_STEPS/best:,.0f} atom-steps/s")

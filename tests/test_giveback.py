@@ -31,7 +31,7 @@ def _swl(reps=(8, 8, 8), sigma=0.1, seed=4):
 def test_giveback_kernel_matches_reference():
     swl = _swl()
     n_pad, j = swl.idx.shape
-    meta = giveback_metadata(swl.idx, swl.window_idx, swl.rev, num_tiles(n_pad))
+    meta = giveback_metadata(swl.idx, swl.window_idx, swl.rev, num_tiles(n_pad), swl.wl)
     assert bool(meta["covered"])
     rng = np.random.default_rng(0)
     pair_T = jnp.asarray(rng.normal(size=(3, j, n_pad)))
@@ -39,7 +39,7 @@ def test_giveback_kernel_matches_reference():
     rows = jnp.arange(n_pad)[:, None]
     real = (swl.idx != rows).T[None]
     pair_T = pair_T * real
-    got = window_giveback(pair_T, meta)
+    got = window_giveback(pair_T, swl.wl, meta)
     want = giveback_reference(pair_T, swl.idx, swl.rev)
     err = float(jnp.max(jnp.abs(got - want)))
     assert err < 1e-12, err

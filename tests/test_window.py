@@ -128,11 +128,10 @@ def test_window_worklists_cover_all_pairs():
     wl = np.asarray(swl.wl)
     n_pad, j = wi.shape
     nt = num_tiles(n_pad)
-    blocks = (wi // 128).reshape(nt, 2, 128, j // 8, 8)
-    blocks = np.moveaxis(blocks, (3, 1), (1, 2)).reshape(nt, j // 8, 2, -1)
+    blocks = (wi // 128).reshape(nt, 2, 128, j)
+    blocks = np.moveaxis(blocks, 3, 2).reshape(nt, 2, -1)
     for t in range(nt):
-        for g in range(j // 8):
-            for h in range(2):
-                need = set(np.unique(blocks[t, g, h]))
-                have = set(wl[t, g, h][wl[t, g, h] < 2**24])
-                assert need <= have, (t, g, h, need - have)
+        for h in range(2):
+            need = set(np.unique(blocks[t, h]))
+            have = set(wl[t, h][wl[t, h] < 2**24])
+            assert need <= have, (t, h, need - have)
