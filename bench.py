@@ -47,8 +47,12 @@ def main():
     # skin=0.6: the Verlet staleness check flags any atom moving > skin/2
     # between rebuilds; at 300 K the max 30-step displacement over 32k
     # atoms is ~0.24 A, right at a 0.5-skin's threshold — 0.6 gives margin.
+    # giveback=False: at 32k the in-kernel Newton give-back ties the flat
+    # mirror gather (~2.08M vs ~2.13M); the kernel wins at 160k+ (1.9x)
+    # where XLA row gathers degrade. Measured scratch/bench_window.py.
     sim = Simulation(
-        model, max_neighbors=56, skin=0.6, steps_per_rebuild=30, compute_virial=False
+        model, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
+        compute_virial=False, giveback=False,
     )
     grid = grid_shape(cell, model.cutoff + 0.6)
 
@@ -58,7 +62,8 @@ def main():
     # intervals: right after thermalize the max-displacement tail is fatter
     # and can trip the Verlet staleness flag at steps_per_rebuild=30
     eq = Simulation(
-        model, max_neighbors=56, skin=0.6, steps_per_rebuild=10, compute_virial=False
+        model, max_neighbors=56, skin=0.6, steps_per_rebuild=10,
+        compute_virial=False, giveback=False,
     )
     state, _, eq_ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
     assert not bool(eq_ovf), "equilibration overflow"

@@ -5,6 +5,7 @@ suite is the broader evidence: parity config, NPT with stress, multi-species,
 active learning, and a large-system run.)
 """
 
+import dataclasses
 import json
 import time
 
@@ -39,10 +40,15 @@ def main():
             300.0,
         )
         sim = Simulation(
-            model, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
+            model, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
             compute_virial=run_kw.pop("virial", False),
         )
         ensemble = run_kw.pop("ensemble", "nve")
+        # equilibrate through the thermalization transient (its fatter
+        # max-displacement tail trips the Verlet staleness flag at spb=30)
+        eq = dataclasses.replace(sim, steps_per_rebuild=10)
+        state, _, eq_ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
+        assert not bool(eq_ovf)
         if ensemble == "npt":
             state, aux = sim.run(state, n_steps, ensemble="npt", dt=0.001, **run_kw)
             return state, None
@@ -70,11 +76,16 @@ def main():
         init_state(pos, types, np.full(len(pos), 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model16, max_neighbors=96, skin=0.5, steps_per_rebuild=20,
+    sim = Simulation(model16, max_neighbors=96, skin=0.6, steps_per_rebuild=20,
                      compute_virial=True, grid_margin=1.15)
+    eq = dataclasses.replace(sim, steps_per_rebuild=5)
+    state, aux, ovf = eq.run_async(state, 30, ensemble="npt", dt=0.001,
+                                   temperature=300.0, pressure=0.0,
+                                   tdamp=0.1, pdamp=2.0)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
     state, aux, ovf = sim.run_async(state, 20, ensemble="npt", dt=0.001,
                                     temperature=300.0, pressure=0.0,
-                                    tdamp=0.1, pdamp=2.0)
+                                    tdamp=0.1, pdamp=2.0, aux=aux)
     float(jnp.sum(state.positions))
     warm_ovf = bool(ovf)
     t0 = time.perf_counter()
@@ -88,6 +99,29 @@ def main():
               pressure_bar=round(float(pressure_of(state)), 1),
               overflow=warm_ovf or bool(ovf))
 
+    # 2b. level-16 32k NVT (NHC thermostat in the step scan)
+    pos, types, cell = make_lattice("fcc", 4.0, (20, 20, 20))
+    state = thermalize(
+        jax.random.PRNGKey(5),
+        init_state(pos, types, np.full(len(pos), 58.693), cell, dtype=jnp.float32),
+        300.0,
+    )
+    sim = Simulation(model16, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
+                     compute_virial=False, giveback=False)
+    eq = dataclasses.replace(sim, steps_per_rebuild=10)
+    state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    state, aux, ovf = sim.run_async(state, 100, ensemble="nvt", dt=0.001,
+                                    temperature=300.0, tdamp=0.1)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    t0 = time.perf_counter()
+    state, aux, ovf = sim.run_async(state, 100, ensemble="nvt", dt=0.001,
+                                    temperature=300.0, tdamp=0.1, aux=aux)
+    float(jnp.sum(state.positions))
+    v = len(pos) * 100 / (time.perf_counter() - t0)
+    _jsonline(config="32k-atom level-16 NVT", atoms=len(pos),
+              atom_steps_per_s=round(v, 1))
+
     # 3. binary alloy, per-pair radial coefficients (BASELINE config 3)
     model2s = MTPModel.from_data(
         make_mtp(16, species_count=2, seed=1), dtype=jnp.float32
@@ -98,8 +132,11 @@ def main():
         init_state(pos, types, np.where(types == 0, 58.693, 95.95), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model2s, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
+    sim = Simulation(model2s, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
                      compute_virial=False)
+    eq = dataclasses.replace(sim, steps_per_rebuild=10)
+    state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
     state, _, ovf = sim.run_async(state, 100, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
     t0 = time.perf_counter()
@@ -150,8 +187,12 @@ def main():
         init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model16, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
-                     compute_virial=False)
+    eq = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=10,
+                    compute_virial=False, giveback=True)
+    state, _, ovf = eq.run_async(state, 40, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
+                     compute_virial=False, giveback=True)
     state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
     t0 = time.perf_counter()
@@ -170,16 +211,20 @@ def main():
         init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model16, max_neighbors=56, skin=0.5, steps_per_rebuild=30,
-                     compute_virial=False)
-    state, _, ovf = sim.run_async(state, 20, ensemble="nve", dt=0.001)
+    eq = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=10,
+                    compute_virial=False, giveback=True)
+    state, _, ovf = eq.run_async(state, 30, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(ovf)
+    sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
+                     compute_virial=False, giveback=True)
+    state, _, ovf = sim.run_async(state, 30, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
     t0 = time.perf_counter()
     state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions))
     v = n * 40 / (time.perf_counter() - t0)
     _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
-              atom_steps_per_s=round(v, 1))
+              atom_steps_per_s=round(v, 1), overflow=bool(ovf))
 
 
 if __name__ == "__main__":

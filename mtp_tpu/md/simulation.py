@@ -85,8 +85,15 @@ class Simulation:
         # 8-aligned slot groups
         return use and min(grid) >= 3 and self.max_neighbors % 8 == 0
 
-    def _use_giveback(self, grid: tuple) -> bool:
-        use = True if self.giveback == "auto" else bool(self.giveback)
+    def _use_giveback(self, grid: tuple, n: int) -> bool:
+        if self.giveback == "auto":
+            # the in-kernel give-back beats the flat mirror gather only
+            # once XLA's row-gather cost dominates: measured crossover
+            # between 32k (tie) and 160k (1.9x win); small systems pay the
+            # kernel's fixed per-tile overheads for nothing
+            use = n >= 100_000
+        else:
+            use = bool(self.giveback)
         return use and self._use_window(grid)
 
     def force_fn_window(
@@ -174,7 +181,7 @@ class Simulation:
                 self.model.cutoff + self.skin,
                 max_neighbors=max_neighbors,
                 grid=grid,
-                align_slots=self._use_giveback(grid),
+                align_slots=self._use_giveback(grid, state.positions.shape[0]),
             )
         return build_neighbor_list(
             state.positions,
@@ -222,7 +229,7 @@ class Simulation:
             nl = build_sorted_neighbor_list(
                 state.positions, state.cell, cutoff,
                 max_neighbors=max_neighbors, grid=grid,
-                align_slots=self._use_giveback(grid),
+                align_slots=self._use_giveback(grid, state.positions.shape[0]),
             )
         else:
             nl = build_neighbor_list(
@@ -252,6 +259,7 @@ class Simulation:
             tdamp=tdamp,
             pdamp=pdamp,
             ref_positions=nl.reference_positions,
+            ref_cell=nl.reference_cell,
         )
         return state, aux, nl.overflow, stale
 
@@ -269,16 +277,37 @@ class Simulation:
         tdamp,
         pdamp,
         ref_positions=None,
+        ref_cell=None,
     ):
         # types/masses never change during the scan: close over them instead
         # of carrying them, so XLA hoists loop-invariant work (notably the
         # (N, J) jtypes gather — ~4 ms/step at 32k x 64) out of the loop
         template = state
-        # Verlet-list staleness: any atom moving > skin/2 since the build can
-        # let an unseen pair enter the cutoff (LAMMPS `neigh_modify check yes`
-        # semantics). Checked every step, OR-accumulated, reported like the
-        # overflow flag so long rebuild intervals are safe, not silent.
-        half_skin2 = (0.5 * self.skin) ** 2
+        # Verlet-list staleness (LAMMPS `neigh_modify check yes` semantics),
+        # OR-accumulated and reported like the overflow flag so long rebuild
+        # intervals are safe, not silent. Under a barostat the cell's affine
+        # rescaling moves edge atoms ~0.01*L per percent of volume ringing
+        # WITHOUT invalidating lists, so the check measures the NON-AFFINE
+        # displacement (vs the cell-rescaled reference) and adds a shrink
+        # term: a pair just outside cutoff+skin enters the cutoff when
+        # 2*max_disp + (1 - s_min)*(cutoff+skin) exceeds the skin.
+        cut_skin = self.model.cutoff + self.skin
+        if ref_positions is not None and ref_cell is not None:
+            inv_ref = jnp.linalg.inv(ref_cell)
+            # unrolled products: a (N,3)@(3,3) matmul runs on the MXU in
+            # bf16 by default — ~0.2 A error at coordinate scale, which
+            # false-trips the staleness flag (same reason minimum_image
+            # unrolls)
+            ref_frac = jnp.stack(
+                [
+                    ref_positions[:, 0] * inv_ref[0, a]
+                    + ref_positions[:, 1] * inv_ref[1, a]
+                    + ref_positions[:, 2] * inv_ref[2, a]
+                    for a in range(3)
+                ],
+                axis=-1,
+            )
+            ref_widths = 1.0 / jnp.linalg.norm(inv_ref, axis=1)
 
         def one(carry, _):
             pos, vel, f, cell, pe, vir, step, stale, aux = carry
@@ -306,11 +335,22 @@ class Simulation:
                 )
             else:
                 raise ValueError(f"unknown ensemble {ensemble}")
-            if ref_positions is not None:
-                d = state.positions - ref_positions
-                stale = stale | (
-                    jnp.max(jnp.sum(d * d, axis=-1)) > half_skin2
+            if ref_positions is not None and ref_cell is not None:
+                scaled_ref = jnp.stack(
+                    [
+                        ref_frac[:, 0] * state.cell[0, a]
+                        + ref_frac[:, 1] * state.cell[1, a]
+                        + ref_frac[:, 2] * state.cell[2, a]
+                        for a in range(3)
+                    ],
+                    axis=-1,
                 )
+                d = state.positions - scaled_ref
+                max_d = jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+                widths = 1.0 / jnp.linalg.norm(jnp.linalg.inv(state.cell), axis=1)
+                s_min = jnp.min(widths / ref_widths)
+                budget = 2.0 * max_d + jnp.maximum(0.0, 1.0 - s_min) * cut_skin
+                stale = stale | (budget > self.skin)
             out = (
                 state.positions,
                 state.velocities,
@@ -387,6 +427,7 @@ class Simulation:
             tdamp=tdamp,
             pdamp=pdamp,
             ref_positions=nl.reference_positions,
+            ref_cell=nl.reference_cell,
         )
 
     def run_async(

@@ -32,6 +32,7 @@ class NeighborList:
     idx: jax.Array  # (N, max_neighbors) int32, padded with self-index
     overflow: jax.Array  # () bool — capacity exceeded somewhere
     reference_positions: jax.Array  # positions at build time (for skin check)
+    reference_cell: jax.Array | None = None  # cell at build time (NPT skin check)
     # (N*max_neighbors,) flat mirror permutation: mirror[p] = flat storage
     # position of the mirrored pair (j -> i) of flat pair p = (i -> j). Lets
     # Newton force give-back be a gather instead of a scatter (scatters
@@ -273,6 +274,7 @@ def build_neighbor_list(
         idx=idx,
         overflow=cell_overflow | nbr_overflow | geom_overflow,
         reference_positions=positions,
+        reference_cell=cell,
         mirror=mirror,
     )
 
@@ -296,7 +298,8 @@ def build_neighbor_list_bruteforce(positions, cell, cutoff, *, max_neighbors: in
     idx = jnp.where(row_keep, take.astype(jnp.int32), self_col)
     overflow = jnp.max(jnp.sum(keep, axis=1)) > max_neighbors
     return NeighborList(
-        idx=idx, overflow=overflow, reference_positions=positions
+        idx=idx, overflow=overflow, reference_positions=positions,
+        reference_cell=cell,
     )
 
 
@@ -330,6 +333,7 @@ class SortedNeighborList:
     wl_counts: jax.Array  # (n_tiles, J//8, 2) real item count per block
     overflow: jax.Array  # () bool: capacity, geometry or worklist overflow
     reference_positions: jax.Array  # user-order positions at build time
+    reference_cell: jax.Array  # cell at build time (NPT skin check)
     # octant-aligned slot layout metadata (see ops/slot_assign.py); None
     # when built with align_slots=False
     rev: jax.Array | None = None  # (N_pad, J) reverse slots
@@ -416,6 +420,7 @@ def build_sorted_neighbor_list(
         wl_counts=wl_counts,
         overflow=nl.overflow | ~covered,
         reference_positions=positions,
+        reference_cell=cell,
         rev=rev,
         aligned=aligned,
         gb=gb,
