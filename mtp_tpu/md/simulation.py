@@ -39,6 +39,24 @@ from mtp_tpu.ops.neighbors import (
 )
 
 
+@dataclasses.dataclass
+class RunFlags:
+    """Distinct failure flags of an async run (device bool scalars).
+
+    `overflow` = neighbor/bin/worklist capacity or bin-grid geometry
+    exceeded — grow `max_neighbors` (or rebuild the grid). `stale` = an
+    atom outran the Verlet skin mid-block — shorten `steps_per_rebuild`
+    (growing capacity would not help). `bool(flags)` is the OR, so callers
+    that only want a pass/fail check keep working.
+    """
+
+    overflow: object
+    stale: object
+
+    def __bool__(self) -> bool:
+        return bool(self.overflow) or bool(self.stale)
+
+
 @dataclasses.dataclass(eq=False)
 class Simulation:
     """Host-side controller for single-chip MD.
@@ -76,16 +94,20 @@ class Simulation:
             return "pallas" if jax.default_backend() == "tpu" else "xla"
         return self.backend
 
-    def _use_window(self, grid: tuple) -> bool:
+    def _use_window(self, grid: tuple, max_neighbors: int | None = None) -> bool:
         if self.window == "auto":
             use = self._resolved_backend() == "pallas"
         else:
             use = bool(self.window)
         # the worklist coverage argument needs a full 3x3x3 stencil and
-        # 8-aligned slot groups
-        return use and min(grid) >= 3 and self.max_neighbors % 8 == 0
+        # 8-aligned slot groups. Gate on the width actually being BUILT
+        # (callers may pass a max_neighbors different from self.max_neighbors)
+        j = self.max_neighbors if max_neighbors is None else max_neighbors
+        return use and min(grid) >= 3 and j % 8 == 0
 
-    def _use_giveback(self, grid: tuple, n: int) -> bool:
+    def _use_giveback(
+        self, grid: tuple, n: int, max_neighbors: int | None = None
+    ) -> bool:
         if self.giveback == "auto":
             # the in-kernel give-back beats the flat mirror gather only
             # once XLA's row-gather cost dominates: measured crossover
@@ -94,7 +116,7 @@ class Simulation:
             use = n >= 100_000
         else:
             use = bool(self.giveback)
-        return use and self._use_window(grid)
+        return use and self._use_window(grid, max_neighbors)
 
     def force_fn_window(
         self, swl: SortedNeighborList, types, compute_virial=None, dtype=jnp.float32
@@ -174,14 +196,16 @@ class Simulation:
     def rebuild(self, state: MDState, *, grid: tuple, max_neighbors: int):
         """Neighbor rebuild as its own dispatch (separating it from the step
         scan keeps XLA from pessimizing the scan body)."""
-        if self._use_window(grid):
+        if self._use_window(grid, max_neighbors):
             return build_sorted_neighbor_list(
                 state.positions,
                 state.cell,
                 self.model.cutoff + self.skin,
                 max_neighbors=max_neighbors,
                 grid=grid,
-                align_slots=self._use_giveback(grid, state.positions.shape[0]),
+                align_slots=self._use_giveback(
+                    grid, state.positions.shape[0], max_neighbors
+                ),
             )
         return build_neighbor_list(
             state.positions,
@@ -225,11 +249,13 @@ class Simulation:
         refresh: bool = False,
     ):
         cutoff = self.model.cutoff + self.skin
-        if self._use_window(grid):
+        if self._use_window(grid, max_neighbors):
             nl = build_sorted_neighbor_list(
                 state.positions, state.cell, cutoff,
                 max_neighbors=max_neighbors, grid=grid,
-                align_slots=self._use_giveback(grid, state.positions.shape[0]),
+                align_slots=self._use_giveback(
+                    grid, state.positions.shape[0], max_neighbors
+                ),
             )
         else:
             nl = build_neighbor_list(
@@ -447,13 +473,14 @@ class Simulation:
         calls, forces carried across blocks (no redundant refresh), one host
         sync at the end. Constant-cell ensembles only.
 
-        Returns (state, aux, overflow) — `overflow` is a device scalar; check
-        it after syncing and re-run with more capacity if set. It also ORs in
-        the Verlet staleness flag (an atom moved > skin/2 within a block), so
-        long `steps_per_rebuild` values are safe: a tripped run is flagged,
-        never silently wrong — re-run with a shorter rebuild interval. NPT is
-        allowed: the bin grid is chosen from the initial cell and the builder
-        flags `overflow` if the cell shrinks past the grid's validity.
+        Returns (state, aux, flags) — `flags` is a :class:`RunFlags` of
+        device scalars; check after syncing. ``bool(flags)`` is the OR of
+        both conditions; `flags.overflow` means capacity/geometry (grow
+        `max_neighbors`), `flags.stale` means an atom moved > skin/2 within
+        a block (shorten `steps_per_rebuild` — capacity would not help).
+        A tripped run is flagged, never silently wrong. NPT is allowed: the
+        bin grid is chosen from the initial cell and the builder flags
+        `overflow` if the cell shrinks past the grid's validity.
         """
         if aux is None:
             aux = _default_aux(ensemble, state)
@@ -472,6 +499,7 @@ class Simulation:
             pdamp=pdamp,
         )
         overflow = None
+        stale_any = jnp.zeros((), bool)
         done = 0
         first = True
         while done < n_steps:
@@ -482,9 +510,9 @@ class Simulation:
                 state = self.refresh_forces(state, nl, ensemble=ensemble)
                 first = False
             state, aux, stale = self.steps(state, aux, nl, n_steps=k, **kw)
-            overflow = overflow | stale
+            stale_any = stale_any | stale
             done += k
-        return state, aux, overflow
+        return state, aux, RunFlags(overflow=overflow, stale=stale_any)
 
     # ---- fully on-device run: scan over blocks, no host sync ----
 
@@ -607,6 +635,17 @@ class Simulation:
                 self.max_neighbors = -(-grown // 8) * 8
                 continue
             if bool(stale):
+                if self.steps_per_rebuild <= 1:
+                    # rebuilding every step and STILL an atom outran the
+                    # skin: the simulation is diverging (or the skin is far
+                    # too small). Retrying identically would hang the host
+                    # loop forever — fail loudly instead.
+                    raise RuntimeError(
+                        "Verlet staleness at steps_per_rebuild=1: an atom "
+                        f"moved > skin/2 ({self.skin / 2:.3f} A) in a single "
+                        f"dt={dt} step. The system is diverging or the skin "
+                        "is too small — check dt/forces or increase skin."
+                    )
                 # an atom outran the Verlet skin mid-block: discard and retry
                 # with a shorter rebuild interval (sticky for this run)
                 self.steps_per_rebuild = max(1, self.steps_per_rebuild // 2)

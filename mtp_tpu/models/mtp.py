@@ -390,8 +390,12 @@ def mtp_energy_forces_window(
     else:
         pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)
         flat = pair_t.reshape(-1, 3)
+        # no mask multiply: masked slots of pair_T are already zero, pads
+        # mirror among themselves, and the distance mask is bitwise
+        # symmetric (antisymmetric min-image disp). Masking by THIS row's
+        # maskf would also break the sharded path, where ghost rows must
+        # accumulate t_ji from own-centered pairs (their own mask is off).
         t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
-        t_ji = t_ji * maskf.T[..., None].astype(dtype)
         forces_s = jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
     forces = _gather_rows3(forces_s, swl.inv_order)  # user order, (N, 3)
 
@@ -418,10 +422,17 @@ def mtp_energy_forces_window(
     return out
 
 
-def window_constants(sched, coeffs, types, swl, dtype):
+def window_constants(sched, coeffs, types, swl, dtype, center_mask=None):
     """Rebuild-constant (J, N_pad) arrays for the window path: neighbor
     types, self-pair mask, per-atom species energies (zero on padding rows),
-    and the padded readout vector. Compute OUTSIDE the step scan."""
+    and the padded readout vector. Compute OUTSIDE the step scan.
+
+    `center_mask`: optional (N,) bool in the same (user) order as `types`;
+    False rows are excluded as CENTERS — their pairs are masked and their
+    species energy zeroed, so site_e and pair_T vanish there. The sharded
+    path uses this to restrict the compute to own atoms of the
+    halo-extended set (ghost neighborhoods are incomplete; their site
+    energies/forces come from the owning shard)."""
     import numpy as _np
 
     n = types.shape[0]
@@ -432,21 +443,32 @@ def window_constants(sched, coeffs, types, swl, dtype):
     jtypes_t = _gather_scalar(types_pad, swl.idx).T.astype(jnp.int32)
     rows = jnp.arange(n_pad, dtype=swl.idx.dtype)
     pair_valid_t = (swl.idx != rows[:, None]).T
+    center_ok = rows < n
+    if center_mask is not None:
+        cm_s = center_mask[swl.order]
+        center_ok = center_ok & jnp.zeros((n_pad,), bool).at[:n].set(cm_s)
+    pair_valid_t = pair_valid_t & center_ok[None, :]
     esp = coeffs.species_coeffs.astype(dtype)[types_pad]
-    esp = jnp.where(rows < n, esp, 0.0)[None, :]
-
-    m_total = sched.alpha_moments_count
-    m_pad = -(-m_total // 8) * 8
-    mapping = _np.asarray(sched.mapping)
-    xi_full = (
-        jnp.zeros((1, m_pad), dtype)
-        .at[0, mapping]
-        .set(coeffs.moment_coeffs.astype(dtype))
-    )
+    esp = jnp.where(center_ok, esp, 0.0)[None, :]
     return dict(
         it_row=it_row,
         jtypes_t=jtypes_t,
         pair_valid_t=pair_valid_t,
         esp=esp,
-        xi_full=xi_full,
+        xi_full=readout_vector(sched, coeffs, dtype),
+    )
+
+
+def readout_vector(sched, coeffs, dtype):
+    """(1, M_pad) moment-coefficient vector scattered over the full moment
+    axis (zeros at non-scalar moments), the megakernel's readout operand."""
+    import numpy as _np
+
+    m_total = sched.alpha_moments_count
+    m_pad = -(-m_total // 8) * 8
+    mapping = _np.asarray(sched.mapping)
+    return (
+        jnp.zeros((1, m_pad), dtype)
+        .at[0, mapping]
+        .set(coeffs.moment_coeffs.astype(dtype))
     )

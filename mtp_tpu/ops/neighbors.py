@@ -329,8 +329,9 @@ class SortedNeighborList:
     idx: jax.Array  # (N_pad, J) int32 sorted-space list, pads = own row
     mirror: jax.Array  # (N_pad*J,) flat mirror permutation
     window_idx: jax.Array  # (N_pad, J) pads retargeted into their tile
-    wl: jax.Array  # (n_tiles, J//8, 2, MAXW) active source chunk ids
-    wl_counts: jax.Array  # (n_tiles, J//8, 2) real item count per block
+    wl: jax.Array  # (n_tiles, 2, MAXW) active source chunk ids per
+    # (tile, 128-lane half), SENTINEL-padded (ops/window_disp.worklists)
+    wl_counts: jax.Array  # (n_tiles, 2) real item count per block
     overflow: jax.Array  # () bool: capacity, geometry or worklist overflow
     reference_positions: jax.Array  # user-order positions at build time
     reference_cell: jax.Array  # cell at build time (NPT skin check)
@@ -349,6 +350,8 @@ def build_sorted_neighbor_list(
     max_neighbors: int,
     grid: tuple,
     align_slots: bool = False,
+    real=None,
+    bin_capacity: int | None = None,
 ):
     """Cell-list build over bin-sorted atoms + banded-window metadata.
 
@@ -356,6 +359,10 @@ def build_sorted_neighbor_list(
     to a handful of 128-atom chunks of the sorted order, which is what lets
     the Pallas displacement kernel resolve pairs with in-VMEM lane gathers
     instead of the serializing XLA row gather (see ops/window_disp.py).
+
+    `real`/`bin_capacity`: as in :func:`build_neighbor_list` — non-real
+    rows (halo padding slots in the sharded path) sort to the end (trash
+    bin) and are excluded as centers and neighbors.
     """
     from mtp_tpu.ops.window_disp import TN, num_tiles, pad_window_lists, worklists
 
@@ -367,6 +374,8 @@ def build_sorted_neighbor_list(
     dims = jnp.asarray(grid)
     bin3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
     bin_id = (bin3[:, 0] * gy + bin3[:, 1]) * gz + bin3[:, 2]
+    if real is not None:
+        bin_id = jnp.where(real, bin_id, gx * gy * gz)  # trash: sort last
     order = jnp.argsort(bin_id).astype(jnp.int32)
     inv_order = jnp.argsort(order).astype(jnp.int32)
 
@@ -374,6 +383,8 @@ def build_sorted_neighbor_list(
     nl = build_neighbor_list(
         spos, cell, cutoff, max_neighbors=max_neighbors, grid=grid,
         with_reverse=False,
+        real=None if real is None else real[order],
+        bin_capacity=bin_capacity,
     )
     n_pad = -(-n // TN) * TN
     rows = jnp.arange(n_pad, dtype=jnp.int32)

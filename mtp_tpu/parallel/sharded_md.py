@@ -91,7 +91,9 @@ class ShardedState:
     cell: jax.Array  # replicated
     potential_energy: jax.Array  # replicated scalar
     virial: jax.Array  # replicated (6,)
-    # NHC thermostat chain [xi1, xi2, eta1, eta2], replicated (sharded NVT)
+    # replicated integrator aux (9,): particle NHC [xi1, xi2, eta1, eta2],
+    # barostat NHC [bxi1, bxi2, beta1, beta2], barostat strain rate [eps_dot]
+    # (NVE uses none, NVT the first 4, NPT all 9)
     thermo: jax.Array
 
     @classmethod
@@ -111,7 +113,7 @@ class ShardedState:
             cell=put(jnp.asarray(cell, dtype), rep),
             potential_energy=put(jnp.zeros((), dtype), rep),
             virial=put(jnp.zeros((6,), dtype), rep),
-            thermo=put(jnp.zeros((4,), dtype), rep),
+            thermo=put(jnp.zeros((9,), dtype), rep),
         )
 
     def gather(self, arr_sharded, n_atoms: int) -> np.ndarray:
@@ -141,6 +143,141 @@ def _compact(mask, k):
     valid = vals > 0
     overflow = jnp.sum(mask) > k
     return take.astype(jnp.int32), valid, overflow
+
+
+def _frac_along(pos, inv_cell, slab_axis):
+    """Wrapped fractional coordinate along the slab axis."""
+    f = (
+        pos[:, 0] * inv_cell[0, slab_axis]
+        + pos[:, 1] * inv_cell[1, slab_axis]
+        + pos[:, 2] * inv_cell[2, slab_axis]
+    )
+    return f - jnp.floor(f)
+
+
+def _migrate(
+    pos, vel, f, types, masses, real, ids, inv_cell,
+    *, axis, nd, E, slab_axis, perm_fwd, perm_bwd,
+):
+    """Re-home atoms whose slab changed (LAMMPS exchange analog).
+
+    Leavers are compacted into fixed (E,)-slot buffers, ring-ppermuted to
+    the adjacent shard, and merged into free slots. Forces migrate with the
+    atom so a caller that carries forces across blocks stays consistent.
+    Returns ((pos, vel, f, types, masses, real, ids), (mig_ovf, escape)).
+    """
+    zero = jnp.zeros((), bool)
+    if nd == 1:
+        return (pos, vel, f, types, masses, real, ids), (zero, zero)
+    s = lax.axis_index(axis)
+    fa = _frac_along(pos, inv_cell, slab_axis)
+    dest = jnp.clip((fa * nd).astype(jnp.int32), 0, nd - 1)
+    dest = jnp.where(real, dest, s)
+    stay = dest == s
+    if nd == 2:
+        go_r = real & ~stay
+        go_l = jnp.zeros_like(go_r)
+        escape = zero
+    else:
+        right = (s + 1) % nd
+        left = (s - 1) % nd
+        go_r = real & (dest == right)
+        go_l = real & (dest == left)
+        escape = jnp.any(real & ~stay & ~go_r & ~go_l)
+
+    def pack(go):
+        take, valid, ovf = _compact(go, E)
+        pf = jnp.concatenate(
+            [pos[take], vel[take], f[take], masses[take][:, None]], axis=1
+        )
+        pi = jnp.stack([types[take], ids[take]], axis=1)
+        return pf, pi, valid, ovf
+
+    pf_r, pi_r, val_r, ovf_r = pack(go_r)
+    pf_l, pi_l, val_l, ovf_l = pack(go_l)
+    # arriving-from-left = left neighbor's rightward buffer, and v.v.
+    in_pf = [jax.lax.ppermute(pf_r, axis, perm_fwd)]
+    in_pi = [jax.lax.ppermute(pi_r, axis, perm_fwd)]
+    in_val = [jax.lax.ppermute(val_r, axis, perm_fwd)]
+    if nd > 2:
+        in_pf.append(jax.lax.ppermute(pf_l, axis, perm_bwd))
+        in_pi.append(jax.lax.ppermute(pi_l, axis, perm_bwd))
+        in_val.append(jax.lax.ppermute(val_l, axis, perm_bwd))
+    inc_pf = jnp.concatenate(in_pf, axis=0)
+    inc_pi = jnp.concatenate(in_pi, axis=0)
+    inc_val = jnp.concatenate(in_val, axis=0)
+    k_in = inc_val.shape[0]
+
+    gone = go_r | go_l
+    real = real & ~gone
+    ids = jnp.where(gone, -1, ids)  # stale ids would corrupt gathers
+    # compact incoming to the front, then place into free slots
+    tk, valid_in, _ = _compact(inc_val, k_in)
+    inc_pf = inc_pf[tk]
+    inc_pi = inc_pi[tk]
+    free_take, free_valid, _ = _compact(~real, k_in)
+    cap_ovf = jnp.any(valid_in & ~free_valid)
+    sel = valid_in & free_valid
+    dst = free_take
+    pos = pos.at[dst].set(jnp.where(sel[:, None], inc_pf[:, 0:3], pos[dst]))
+    vel = vel.at[dst].set(jnp.where(sel[:, None], inc_pf[:, 3:6], vel[dst]))
+    f = f.at[dst].set(jnp.where(sel[:, None], inc_pf[:, 6:9], f[dst]))
+    masses = masses.at[dst].set(jnp.where(sel, inc_pf[:, 9], masses[dst]))
+    types = types.at[dst].set(jnp.where(sel, inc_pi[:, 0], types[dst]))
+    ids = ids.at[dst].set(jnp.where(sel, inc_pi[:, 1], ids[dst]))
+    real = real.at[dst].set(real[dst] | sel)
+    mig_ovf = ovf_r | ovf_l | cap_ovf
+    return (pos, vel, f, types, masses, real, ids), (mig_ovf, escape)
+
+
+def _halo_select(
+    pos, real, inv_cell, *, axis, nd, H, w_cut, slab_axis,
+    perm_fwd=None, perm_bwd=None,
+):
+    """Face-shell membership (fixed for a block): atoms within `w_cut` of
+    each slab face, compacted into H send slots. Returns
+    (sel_r, val_r, sel_l, val_l, halo_ovf). (perm_* accepted for caller
+    symmetry with the other comm helpers; selection itself is local.)"""
+    zero = jnp.zeros((), bool)
+    if nd == 1:
+        dummy = jnp.zeros((H,), jnp.int32)
+        dummyv = jnp.zeros((H,), bool)
+        return (dummy, dummyv, dummy, dummyv, zero)
+    widths = 1.0 / jnp.linalg.norm(inv_cell, axis=1)
+    w_frac = w_cut / widths[slab_axis]
+    s = lax.axis_index(axis)
+    fa = _frac_along(pos, inv_cell, slab_axis)
+    hi = (s + 1.0) / nd
+    lo = s / nd
+    near_r = real & (hi - fa < w_frac)
+    near_l = real & (fa - lo < w_frac)
+    sel_r, val_r, ovf_r = _compact(near_r, H)
+    sel_l, val_l, ovf_l = _compact(near_l, H)
+    halo_ovf = ovf_r | ovf_l
+    if nd == 2:
+        # both faces ship to the SAME device: an atom in both shells
+        # would be double-counted there
+        halo_ovf = halo_ovf | jnp.any(near_r & near_l)
+    return sel_r, val_r, sel_l, val_l, halo_ovf
+
+
+def _exchange(own, sel_r, val_r, sel_l, val_l, fill, *, axis, nd, H, perm_fwd, perm_bwd):
+    """own (C, ...) -> extended (C+2H, ...): [own, from-left, from-right].
+
+    Invalid send slots carry `fill` (excluded from pairs via ext_real).
+    """
+    if nd == 1:
+        pad_shape = (2 * H,) + own.shape[1:]
+        return jnp.concatenate(
+            [own, jnp.full(pad_shape, fill, own.dtype)], axis=0
+        )
+    vr = val_r.reshape((H,) + (1,) * (own.ndim - 1))
+    vl = val_l.reshape((H,) + (1,) * (own.ndim - 1))
+    send_r = jnp.where(vr, own[sel_r], fill)
+    send_l = jnp.where(vl, own[sel_l], fill)
+    from_left = jax.lax.ppermute(send_r, axis, perm_fwd)
+    from_right = jax.lax.ppermute(send_l, axis, perm_bwd)
+    return jnp.concatenate([own, from_left, from_right], axis=0)
 
 
 def make_sharded_md_block(
@@ -186,120 +323,22 @@ def make_sharded_md_block(
     bin_cap = max(1, int(np.ceil(4.0 * nd * C / ncells))) + 8
     NE = C + 2 * H  # extended rows: [own | from-left | from-right]
 
-    def frac_along(pos, inv_cell):
-        f = (
-            pos[:, 0] * inv_cell[0, slab_axis]
-            + pos[:, 1] * inv_cell[1, slab_axis]
-            + pos[:, 2] * inv_cell[2, slab_axis]
+    comm_kw = dict(axis=axis, nd=nd, perm_fwd=perm_fwd, perm_bwd=perm_bwd)
+
+    def migrate(pos, vel, f, types, masses, real, ids, inv_cell):
+        return _migrate(
+            pos, vel, f, types, masses, real, ids, inv_cell,
+            E=E, slab_axis=slab_axis, **comm_kw,
         )
-        return f - jnp.floor(f)
 
-    def migrate(pos, vel, types, masses, real, ids, inv_cell):
-        """Re-home atoms whose slab changed (LAMMPS exchange analog)."""
-        zero = jnp.zeros((), bool)
-        if nd == 1:
-            return (pos, vel, types, masses, real, ids), (zero, zero)
-        s = lax.axis_index(axis)
-        fa = frac_along(pos, inv_cell)
-        dest = jnp.clip((fa * nd).astype(jnp.int32), 0, nd - 1)
-        dest = jnp.where(real, dest, s)
-        stay = dest == s
-        if nd == 2:
-            go_r = real & ~stay
-            go_l = jnp.zeros_like(go_r)
-            escape = zero
-        else:
-            right = (s + 1) % nd
-            left = (s - 1) % nd
-            go_r = real & (dest == right)
-            go_l = real & (dest == left)
-            escape = jnp.any(real & ~stay & ~go_r & ~go_l)
-
-        def pack(go):
-            take, valid, ovf = _compact(go, E)
-            pf = jnp.concatenate(
-                [pos[take], vel[take], masses[take][:, None]], axis=1
-            )
-            pi = jnp.stack([types[take], ids[take]], axis=1)
-            return pf, pi, valid, ovf
-
-        pf_r, pi_r, val_r, ovf_r = pack(go_r)
-        pf_l, pi_l, val_l, ovf_l = pack(go_l)
-        # arriving-from-left = left neighbor's rightward buffer, and v.v.
-        in_pf = [jax.lax.ppermute(pf_r, axis, perm_fwd)]
-        in_pi = [jax.lax.ppermute(pi_r, axis, perm_fwd)]
-        in_val = [jax.lax.ppermute(val_r, axis, perm_fwd)]
-        if nd > 2:
-            in_pf.append(jax.lax.ppermute(pf_l, axis, perm_bwd))
-            in_pi.append(jax.lax.ppermute(pi_l, axis, perm_bwd))
-            in_val.append(jax.lax.ppermute(val_l, axis, perm_bwd))
-        inc_pf = jnp.concatenate(in_pf, axis=0)
-        inc_pi = jnp.concatenate(in_pi, axis=0)
-        inc_val = jnp.concatenate(in_val, axis=0)
-        k_in = inc_val.shape[0]
-
-        gone = go_r | go_l
-        real = real & ~gone
-        ids = jnp.where(gone, -1, ids)  # stale ids would corrupt gathers
-        # compact incoming to the front, then place into free slots
-        tk, valid_in, _ = _compact(inc_val, k_in)
-        inc_pf = inc_pf[tk]
-        inc_pi = inc_pi[tk]
-        free_take, free_valid, _ = _compact(~real, k_in)
-        cap_ovf = jnp.any(valid_in & ~free_valid)
-        sel = valid_in & free_valid
-        dst = free_take
-        pos = pos.at[dst].set(jnp.where(sel[:, None], inc_pf[:, 0:3], pos[dst]))
-        vel = vel.at[dst].set(jnp.where(sel[:, None], inc_pf[:, 3:6], vel[dst]))
-        masses = masses.at[dst].set(jnp.where(sel, inc_pf[:, 6], masses[dst]))
-        types = types.at[dst].set(jnp.where(sel, inc_pi[:, 0], types[dst]))
-        ids = ids.at[dst].set(jnp.where(sel, inc_pi[:, 1], ids[dst]))
-        real = real.at[dst].set(real[dst] | sel)
-        mig_ovf = ovf_r | ovf_l | cap_ovf
-        return (pos, vel, types, masses, real, ids), (mig_ovf, escape)
-
-    def halo_select(pos, real, cell, inv_cell):
-        """Face-shell membership (fixed for the block): atoms within
-        cutoff+skin of each slab face, compacted into H send slots."""
-        zero = jnp.zeros((), bool)
-        if nd == 1:
-            dummy = jnp.zeros((H,), jnp.int32)
-            dummyv = jnp.zeros((H,), bool)
-            return (dummy, dummyv, dummy, dummyv, zero)
-        widths = 1.0 / jnp.linalg.norm(inv_cell, axis=1)
-        w_frac = w_cut / widths[slab_axis]
-        s = lax.axis_index(axis)
-        fa = frac_along(pos, inv_cell)
-        hi = (s + 1.0) / nd
-        lo = s / nd
-        near_r = real & (hi - fa < w_frac)
-        near_l = real & (fa - lo < w_frac)
-        sel_r, val_r, ovf_r = _compact(near_r, H)
-        sel_l, val_l, ovf_l = _compact(near_l, H)
-        halo_ovf = ovf_r | ovf_l
-        if nd == 2:
-            # both faces ship to the SAME device: an atom in both shells
-            # would be double-counted there
-            halo_ovf = halo_ovf | jnp.any(near_r & near_l)
-        return sel_r, val_r, sel_l, val_l, halo_ovf
+    def halo_select(pos, real, inv_cell):
+        return _halo_select(
+            pos, real, inv_cell, H=H, w_cut=w_cut, slab_axis=slab_axis,
+            **comm_kw,
+        )
 
     def exchange(own, sel_r, val_r, sel_l, val_l, fill):
-        """own (C, ...) -> extended (C+2H, ...): [own, from-left, from-right].
-
-        Invalid send slots carry `fill` (excluded from pairs via ext_real).
-        """
-        if nd == 1:
-            pad_shape = (2 * H,) + own.shape[1:]
-            return jnp.concatenate(
-                [own, jnp.full(pad_shape, fill, own.dtype)], axis=0
-            )
-        vr = val_r.reshape((H,) + (1,) * (own.ndim - 1))
-        vl = val_l.reshape((H,) + (1,) * (own.ndim - 1))
-        send_r = jnp.where(vr, own[sel_r], fill)
-        send_l = jnp.where(vl, own[sel_l], fill)
-        from_left = jax.lax.ppermute(send_r, axis, perm_fwd)
-        from_right = jax.lax.ppermute(send_l, axis, perm_bwd)
-        return jnp.concatenate([own, from_left, from_right], axis=0)
+        return _exchange(own, sel_r, val_r, sel_l, val_l, fill, H=H, **comm_kw)
 
     def pair_forces(ext_pos, idx, mirror, mask, itypes, jtypes, cell, inv_cell):
         """Site energies + per-pair T for the C+2H-row extended set's OWN
@@ -366,12 +405,10 @@ def make_sharded_md_block(
 
     def block_shard(pos, vel, f, types, masses, real, ids, cell, thermo):
         inv_cell = jnp.linalg.inv(cell)
-        (pos, vel, types, masses, real, ids), (mig_ovf, escape) = migrate(
-            pos, vel, types, masses, real, ids, inv_cell
+        (pos, vel, f, types, masses, real, ids), (mig_ovf, escape) = migrate(
+            pos, vel, f, types, masses, real, ids, inv_cell
         )
-        sel_r, val_r, sel_l, val_l, halo_ovf = halo_select(
-            pos, real, cell, inv_cell
-        )
+        sel_r, val_r, sel_l, val_l, halo_ovf = halo_select(pos, real, inv_cell)
 
         def exch(x, fill):
             return exchange(x, sel_r, val_r, sel_l, val_l, fill)
@@ -460,7 +497,7 @@ def make_sharded_md_block(
                 vel, xi, eta = nhc_half(vel, xi, eta)
             return (pos, vel, f, xi, eta), (pe, vir)
 
-        xi0, eta0 = thermo[:2], thermo[2:]
+        xi0, eta0 = thermo[:2], thermo[2:4]
         xi, eta = xi0, eta0
         if n_steps > 0:
             (pos, vel, f, xi, eta), (pes, virs) = jax.lax.scan(
@@ -469,7 +506,7 @@ def make_sharded_md_block(
             pe, vir = pes[-1], virs[-1]
         else:
             pe, vir = pe0, vir0
-        thermo = jnp.concatenate([xi, eta])
+        thermo = jnp.concatenate([xi, eta, thermo[4:]])
         nbr_ovf = jax.lax.pmax(nl.overflow, axis)
         flags = (
             nbr_ovf,
@@ -534,6 +571,7 @@ def make_sharded_grades(
     max_neighbors: int,
     grid: tuple,
     halo_capacity: Optional[int] = None,
+    slab_axis: int = 0,
 ):
     """Multi-chip extrapolation grades: per-shard candidate vectors with
     boundary-shell halo exchange, then the reference's grade collectives as
@@ -575,12 +613,12 @@ def make_sharded_grades(
             halo_ovf = jnp.zeros((), bool)
         else:
             widths = 1.0 / jnp.linalg.norm(inv_cell, axis=1)
-            w_frac = cutoff / widths[0]
+            w_frac = cutoff / widths[slab_axis]
             s = lax.axis_index(axis)
             f = (
-                pos[:, 0] * inv_cell[0, 0]
-                + pos[:, 1] * inv_cell[1, 0]
-                + pos[:, 2] * inv_cell[2, 0]
+                pos[:, 0] * inv_cell[0, slab_axis]
+                + pos[:, 1] * inv_cell[1, slab_axis]
+                + pos[:, 2] * inv_cell[2, slab_axis]
             )
             fa = f - jnp.floor(f)
             near_r = real & ((s + 1.0) / nd - fa < w_frac)

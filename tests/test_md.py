@@ -179,10 +179,12 @@ def test_stale_flag_guards_long_rebuild_intervals(system):
     model, state0 = system
     state = thermalize(jax.random.PRNGKey(7), state0, 600.0)
 
-    # run_async reports staleness through the overflow flag
+    # run_async reports staleness distinctly from capacity overflow, so an
+    # automated caller grows the right knob (RunFlags; bool() is the OR)
     sim = Simulation(model, max_neighbors=64, skin=1e-3, steps_per_rebuild=200)
     _, _, flag = sim.run_async(state, 200, ensemble="nve", dt=0.001)
     assert bool(flag), "staleness must be flagged with a tiny skin"
+    assert bool(flag.stale) and not bool(flag.overflow)
 
     # a healthy skin over a short horizon: no flag
     sim2 = Simulation(model, max_neighbors=64, skin=1.0, steps_per_rebuild=15)

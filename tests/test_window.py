@@ -96,6 +96,49 @@ def test_window_trajectory_matches_xla_path(alloy):
     )
 
 
+def test_giveback_trajectory_matches_xla_path(alloy):
+    """20 NVE steps with the FULL giveback branch (octant-aligned slots +
+    in-kernel Newton give-back + spill gather/scatter) through Simulation:
+    must match the XLA path. Covers mtp_energy_forces_window's gb branch
+    end-to-end, not just the kernel in isolation (round-2 advisor item)."""
+    model, state = alloy
+    sim_g = Simulation(
+        model, max_neighbors=64, skin=0.6, steps_per_rebuild=10,
+        backend="pallas", window=True, giveback=True,
+    )
+    sim_x = Simulation(
+        model, max_neighbors=64, skin=0.6, steps_per_rebuild=10,
+        backend="xla", window=False,
+    )
+    grid = grid_shape(np.asarray(state.cell), model.cutoff + 0.6)
+    assert sim_g._use_giveback(grid, state.positions.shape[0], 64), (
+        "giveback path must actually engage"
+    )
+    s_g, _ = sim_g.run(state, 20, ensemble="nve", dt=0.001)
+    s_x, _ = sim_x.run(state, 20, ensemble="nve", dt=0.001)
+    np.testing.assert_allclose(
+        np.asarray(s_g.positions), np.asarray(s_x.positions), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_g.forces), np.asarray(s_x.forces), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        float(s_g.potential_energy), float(s_x.potential_energy), atol=1e-11
+    )
+
+
+def test_use_window_gates_on_actual_width(alloy):
+    """The window gate must consider the width actually being built, not
+    the Simulation's default: run_fused(max_neighbors=60) on a sim created
+    with 56 must NOT engage the 8-aligned kernels (round-2 advisor item)."""
+    model, _ = alloy
+    sim = Simulation(model, max_neighbors=56, window=True)
+    grid = (3, 3, 3)
+    assert sim._use_window(grid)  # 56 % 8 == 0
+    assert not sim._use_window(grid, 60)  # caller-supplied non-aligned width
+    assert not sim._use_giveback(grid, 10**6, 60)
+
+
 def test_window_worklist_overflow_flag():
     """A list whose per-group indices touch more than MAXW distinct chunks
     must trip the coverage flag, not produce silent garbage. (Physical
