@@ -228,7 +228,11 @@ def build_neighbor_list(
                 cand_valid & (d2 <= cutoff * cutoff) & self_row & (d2 > 1e-12)
             )
         if real is not None:
-            keep = keep & real[cand_safe] & real[crow][:, None]
+            # candidates are real BY CONSTRUCTION: non-real rows are
+            # trash-binned and the stencil never reads the trash row, so
+            # only the (cheap, (b,)) center mask is needed. A real[cand]
+            # gather here is ~48M scalar picks at 32k (≈200 ms on v5e).
+            keep = keep & real[crow][:, None]
 
         # compact kept candidates to the front: score kept columns by
         # decreasing (W - col) and take top_k (much cheaper than a full

@@ -131,7 +131,10 @@ class ShardedSimulation:
         self.NE = C + 2 * self.H
         self.n_pad = -(-self.NE // TN) * TN
         ncells = int(np.prod(self.grid))
-        self.bin_cap = max(1, int(np.ceil(4.0 * self.nd * C / ncells))) + 8
+        # each shard's extended set is a SUBSET of the global atom set per
+        # bin (ghosts are other slabs' atoms at their original coords), so
+        # the single-chip uniform-density cap applies; overflow is flagged
+        self.bin_cap = max(1, int(np.ceil(2.2 * self.nd * C / ncells))) + 12
         self.w_cut = self.model.cutoff + self.skin
         if self.giveback == "auto":
             # in-kernel give-back wins once XLA row-gather cost over the
