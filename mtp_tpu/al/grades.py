@@ -90,7 +90,8 @@ def candidate_vectors(sched: MTPSchedule, coeffs, positions, types, nbr_idx, cel
 
 @partial(jax.jit, static_argnames=("sched",))
 def candidates_and_forces(
-    sched: MTPSchedule, coeffs, positions, types, nbr_idx, cell=None, nbr_mirror=None
+    sched: MTPSchedule, coeffs, positions, types, nbr_idx, cell=None,
+    nbr_mirror=None, row_valid=None,
 ):
     """Fused grade-step evaluation: ONE shared forward pass yields both the
     MD forces and the per-atom candidate vectors.
@@ -102,6 +103,10 @@ def candidates_and_forces(
     tables: gamma = dE/d(moments) drives BOTH the force backward pass
     (chain rule through the moments) and the radial block of the candidate
     vectors.
+
+    `row_valid`: optional (N,) bool — False rows (padding slots of a
+    sorted-space list) are excluded as centers; their site energies,
+    candidate vectors, and pair forces are zeroed.
 
     Returns dict(b, site_energies, energy, forces).
     """
@@ -115,6 +120,8 @@ def candidates_and_forces(
     d2 = jnp.sum(disp * disp, axis=-1)
     self_pair = nbr_idx == jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
     mask = (d2 <= sched.max_dist**2) & (~self_pair)
+    if row_valid is not None:
+        mask = mask & row_valid[:, None]
     itypes = types
     jtypes = types[nbr_idx]
 
@@ -155,6 +162,11 @@ def candidates_and_forces(
     gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)
     rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])
     it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype)
+    if row_valid is not None:
+        rv = row_valid.astype(dtype)[:, None]
+        it_onehot = it_onehot * rv  # zeroes the species AND radial blocks
+        basis_members = basis_members * rv
+        site_e = jnp.where(row_valid, site_e, 0.0)
     b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(n, S * S * MU * RB)
     b = jnp.concatenate([b_rad, it_onehot, basis_members], axis=1)
 

@@ -468,6 +468,8 @@ class Simulation:
         tdamp: float = 0.1,
         pdamp: float = 1.0,
         aux=None,
+        return_nl: bool = False,
+        refresh: bool = True,
     ):
         """Throughput path: rebuild and step-scan dispatched as separate async
         calls, forces carried across blocks (no redundant refresh), one host
@@ -501,7 +503,10 @@ class Simulation:
         overflow = None
         stale_any = jnp.zeros((), bool)
         done = 0
-        first = True
+        # refresh=False trusts incoming state.forces to be position-
+        # consistent (e.g. refreshed by a fused grade evaluation)
+        first = refresh
+        nl = None
         while done < n_steps:
             k = min(self.steps_per_rebuild, n_steps - done)
             nl = self.rebuild(state, grid=grid, max_neighbors=self.max_neighbors)
@@ -512,7 +517,13 @@ class Simulation:
             state, aux, stale = self.steps(state, aux, nl, n_steps=k, **kw)
             stale_any = stale_any | stale
             done += k
-        return state, aux, RunFlags(overflow=overflow, stale=stale_any)
+        flags = RunFlags(overflow=overflow, stale=stale_any)
+        if return_nl:
+            # the final block's list: valid for the returned state (within
+            # the skin, provided flags are clear) — lets AL grade steps
+            # skip their own rebuild (driver.run_with_extrapolation)
+            return state, aux, flags, nl
+        return state, aux, flags
 
     # ---- fully on-device run: scan over blocks, no host sync ----
 

@@ -155,6 +155,58 @@ def _with_realistic_mvs(m, rng, mode="neighborhood"):
     return m
 
 
+def test_evaluate_reuses_supplied_neighbor_list(mtp_level8, rng):
+    """Grades from a caller-supplied Verlet list (built at cutoff+skin,
+    plain AND sorted/window flavor) must equal a fresh-rebuild evaluation —
+    the round-2 VERDICT AL-fusion item: no per-eval rebuild."""
+    from mtp_tpu.ops.neighbors import (
+        build_neighbor_list,
+        build_sorted_neighbor_list,
+        grid_shape,
+    )
+
+    m = _with_realistic_mvs(mtp_level8, rng)
+    try:
+        model = MTPModel.from_data(m, dtype=jnp.float64)
+        # (6,6,6) so the sorted build's grid has >= 3 bins per dim
+        pos, types, cell = make_lattice("fcc", 4.0, (6, 6, 6))
+        pos = pos + rng.normal(scale=0.06, size=pos.shape)
+        state = init_state(
+            pos, types, np.full(len(pos), 58.7), cell, dtype=jnp.float64
+        )
+        mon = ExtrapolationMonitor(model, max_neighbors=64)
+        g_fresh = mon.evaluate(state)
+        grades_fresh = mon.nbh_grades.copy()
+
+        skin = 0.6
+        grid = grid_shape(cell, model.cutoff + skin)
+        nl = build_neighbor_list(
+            state.positions, state.cell, model.cutoff + skin,
+            max_neighbors=64, grid=grid, with_reverse=True,
+        )
+        g_nl, st2 = mon.evaluate(state, nl=nl, refresh_forces=True)
+        assert g_nl == pytest.approx(g_fresh, rel=1e-10)
+        np.testing.assert_allclose(mon.nbh_grades, grades_fresh, rtol=1e-9)
+
+        swl = build_sorted_neighbor_list(
+            state.positions, state.cell, model.cutoff + skin,
+            max_neighbors=64, grid=grid,
+        )
+        assert not bool(swl.overflow)
+        g_swl, st3 = mon.evaluate(state, nl=swl, refresh_forces=True)
+        assert g_swl == pytest.approx(g_fresh, rel=1e-10)
+        np.testing.assert_allclose(mon.nbh_grades, grades_fresh, rtol=1e-9)
+        # refreshed forces from the sorted-space pass match the plain pass
+        np.testing.assert_allclose(
+            np.asarray(st3.forces), np.asarray(st2.forces), atol=1e-10
+        )
+        assert float(st3.potential_energy) == pytest.approx(
+            float(st2.potential_energy), abs=1e-9
+        )
+    finally:
+        m.mvs = None
+
+
 def test_monitor_requires_mvs(mtp_level8):
     model = MTPModel.from_data(mtp_level8, dtype=jnp.float64)
     with pytest.raises(ValueError):

@@ -1,0 +1,173 @@
+"""Accuracy gate at bench scale: fp32 TPU forces/energy vs the f64 oracle.
+
+BASELINE.md's gate is <1e-6 eV/atom energy AND force parity vs MLIP-3. The
+f64 oracle chain: utils/golden.py (loop-level reference-spec transcription)
+== XLA f64 path to ~1e-11 at small N (tests/test_model.py), so the XLA f64
+CPU evaluation IS the oracle at sizes where the Python-loop golden engine is
+infeasible (32k would take hours).
+
+Usage:
+    python tools/accuracy_gate.py          # full: oracle subprocess + fp32
+    python tools/accuracy_gate.py --oracle # (internal) f64 CPU oracle only
+
+Writes /tmp/acc_gate_oracle.npz from the subprocess, prints one JSON line
+with max|dF|, RMS dF, dE/atom (both naive-fp32 and f64-host-summed), and
+the force scale for context. Run on the TPU host for the production-path
+numbers; falls back to fp32-on-CPU if no TPU.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+CFG = dict(level=16, reps=(20, 20, 20), a=4.0, seed=0, temperature=300.0)
+ORACLE_NPZ = "/tmp/acc_gate_oracle.npz"
+
+
+def _config_positions():
+    """The bench config, thermally displaced: deterministic f64 positions
+    shared by both processes (displacements minted on the host, NOT by
+    running MD, so oracle and fp32 process see bitwise-identical inputs)."""
+    from mtp_tpu.md.simulation import make_lattice
+
+    pos, types, cell = make_lattice("fcc", CFG["a"], CFG["reps"])
+    rng = np.random.default_rng(CFG["seed"])
+    # ~300 K thermal displacement amplitude for fcc Ni (sigma ~ 0.07 A)
+    pos = pos + rng.normal(scale=0.07, size=pos.shape)
+    return pos.astype(np.float64), types, np.asarray(cell, np.float64)
+
+
+def run_oracle():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.models.mtp import MTPModel, mtp_energy_forces
+    from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+
+    m = make_mtp(CFG["level"], species_count=1, seed=CFG["seed"])
+    model = MTPModel.from_data(m, dtype=jnp.float64)
+    pos, types, cell = _config_positions()
+    grid = grid_shape(cell, model.cutoff)
+    nl = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), model.cutoff,
+        max_neighbors=64, grid=grid, with_reverse=True,
+    )
+    assert not bool(nl.overflow)
+    out = mtp_energy_forces(
+        model.schedule, model.coeffs, jnp.asarray(pos),
+        jnp.asarray(types, jnp.int32), nl.idx, jnp.asarray(cell),
+        nl.mirror, backend="xla",
+    )
+    np.savez(
+        ORACLE_NPZ,
+        forces=np.asarray(out["forces"], np.float64),
+        site_energies=np.asarray(out["site_energies"], np.float64),
+        energy=np.float64(out["energy"]),
+        virial=np.asarray(out["virial"], np.float64),
+    )
+    print(f"oracle: N={len(pos)} E={float(out['energy']):.10f} eV", file=sys.stderr)
+
+
+def run_fp32():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.md.simulation import Simulation
+    from mtp_tpu.models.mtp import MTPModel
+    from mtp_tpu.ops.neighbors import grid_shape
+
+    m = make_mtp(CFG["level"], species_count=1, seed=CFG["seed"])
+    model = MTPModel.from_data(m, dtype=jnp.float32)
+    pos, types, cell = _config_positions()
+    n = len(pos)
+    backend = jax.default_backend()
+
+    sim = Simulation(
+        model, max_neighbors=64, skin=0.0, steps_per_rebuild=1,
+        compute_virial=True, window=(backend == "tpu"),
+    )
+    grid = grid_shape(cell, model.cutoff)
+    import jax.numpy as jnp
+
+    from mtp_tpu.md.state import init_state
+
+    state = init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32)
+    nl = sim.rebuild(state, grid=grid, max_neighbors=64)
+    assert not bool(nl.overflow)
+    force_fn = sim._force_fn_for(nl, state)
+    f32_forces, f32_energy, f32_virial = jax.jit(force_fn)(
+        state.positions, state.types, state.cell
+    )
+    # site energies for f64 host summation (the fp32 tree-sum of the total
+    # loses ~log2(N)*eps*|E|; the per-site values themselves carry only
+    # per-neighborhood rounding)
+    if hasattr(nl, "order"):
+        from mtp_tpu.models.mtp import mtp_energy_forces_window, window_constants
+
+        consts = window_constants(
+            model.schedule, model.coeffs, state.types, nl, jnp.float32
+        )
+        out = mtp_energy_forces_window(
+            model.schedule, model.coeffs, state.positions, state.cell, nl,
+            compute_virial=False, **consts,
+        )
+        site_e = np.asarray(out["site_energies"], np.float64)[:n]
+    else:
+        from mtp_tpu.models.mtp import mtp_energy_forces
+
+        out = mtp_energy_forces(
+            model.schedule, model.coeffs, state.positions, state.types,
+            nl.idx, state.cell, nl.mirror,
+        )
+        site_e = np.asarray(out["site_energies"], np.float64)
+
+    ref = np.load(ORACLE_NPZ)
+    df = np.asarray(f32_forces, np.float64) - ref["forces"]
+    fmag = np.linalg.norm(ref["forces"], axis=1)
+    d = dict(
+        metric="accuracy-gate (32k level-16 thermal fcc, fp32 %s vs f64 oracle)"
+        % backend,
+        n_atoms=n,
+        max_abs_dF=float(np.abs(df).max()),
+        rms_dF=float(np.sqrt((df**2).mean())),
+        force_scale_rms=float(np.sqrt((fmag**2).mean())),
+        dE_per_atom_naive_f32_sum=float(
+            abs(float(f32_energy) - float(ref["energy"])) / n
+        ),
+        dE_per_atom_f64_host_sum=float(
+            abs(site_e.sum() - float(ref["energy"])) / n
+        ),
+        max_site_e_err=float(
+            np.abs(site_e - ref["site_energies"]).max()
+        ),
+        max_dvirial=float(
+            np.abs(np.asarray(f32_virial, np.float64) - ref["virial"]).max()
+        ),
+    )
+    print(json.dumps(d))
+
+
+if __name__ == "__main__":
+    if "--oracle" in sys.argv:
+        run_oracle()
+        sys.exit(0)
+    if not os.path.exists(ORACLE_NPZ):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--oracle"], env=env
+        )
+        assert r.returncode == 0, "oracle subprocess failed"
+    run_fp32()
