@@ -149,6 +149,19 @@ class _Lines:
             self._pos += 1
             if self.ignore_comments:
                 line = line.split("#", 1)[0]
+            # Brace-balanced continuation: MLIP-3 writes index arrays as ONE
+            # arbitrarily long line (the reference needs a buffer workaround
+            # for them, pair_mtp.cpp:489-492 — a non-issue here), but hand-
+            # edited/rewrapped files in the wild split them; keep consuming
+            # lines until every '{' is closed.
+            while line.count("{") > line.count("}") and self._pos < len(
+                self._lines
+            ):
+                nxt = self._lines[self._pos]
+                self._pos += 1
+                if self.ignore_comments:
+                    nxt = nxt.split("#", 1)[0]
+                line = line + " " + nxt
             toks = [t for t in _SEPS.split(line) if t]
             if toks:
                 return toks

@@ -297,6 +297,191 @@ def npt_step(
     return state, aux._replace(thermo=thermo)
 
 
+# ------------------------------------------------- anisotropic MTK NPT -----
+
+
+class NPTAnisoAux(NamedTuple):
+    """Full-cell MTK barostat state (Parrinello-Rahman-style cell dynamics
+    with the MTK kinetic corrections)."""
+
+    thermo: NHCAux  # particle thermostat chain
+    baro_thermo: NHCAux  # barostat thermostat chain
+    baro_v: jax.Array  # (3, 3) symmetric cell strain-rate tensor p_g / W
+
+
+def npt_aniso_init(dtype=jnp.float32) -> NPTAnisoAux:
+    return NPTAnisoAux(
+        thermo=nhc_init(dtype),
+        baro_thermo=nhc_init(dtype),
+        baro_v=jnp.zeros((3, 3), dtype),
+    )
+
+
+def _sym_expm(a):
+    """exp(A) for a small symmetric (3,3) A by 4th-order series (barostat
+    strain increments are ~dt*eps_dot ~ 1e-4; the series truncation error
+    ~|A|^5 is far below fp precision — no eigh needed on the hot path)."""
+    eye = jnp.eye(3, dtype=a.dtype)
+    a2 = a @ a
+    return eye + a + a2 / 2.0 + a2 @ a / 6.0 + a2 @ a2 / 24.0
+
+
+def _sinh_ratio_m(a):
+    """f(A) = sinh(A/2)/(A/2) as a series in A^2 (commutes with exp(A))."""
+    eye = jnp.eye(3, dtype=a.dtype)
+    a2 = a @ a
+    return eye + a2 / 24.0 + a2 @ a2 / 1920.0
+
+
+def _voigt_to_tensor(v):
+    """Voigt (xx,yy,zz,xy,xz,yz) -> symmetric (3,3)."""
+    return jnp.asarray(
+        [
+            [v[0], v[3], v[4]],
+            [v[3], v[1], v[5]],
+            [v[4], v[5], v[2]],
+        ]
+    )
+
+
+def npt_aniso_step(
+    state: MDState,
+    aux: NPTAnisoAux,
+    force_fn: ForceFn,
+    dt: float,
+    temperature: float,
+    pressure: float,
+    tdamp: float,
+    pdamp: float,
+    couple: str = "tri",
+):
+    """Anisotropic Martyna-Tobias-Klein NPT step (full-cell / triclinic).
+
+    The LAMMPS `fix npt ... aniso/tri` surface the reference inherits (its
+    virial support exists to serve exactly this, pair_mtp.cpp:256-277).
+    The barostat momentum is a symmetric (3,3) tensor p_g; `couple="aniso"`
+    restricts it to the diagonal (cell stays orthorhombic), `couple="tri"`
+    evolves all six modes (cell may tilt). The same Trotter splitting as
+    :func:`npt_step` with every scalar barostat map promoted to a matrix
+    function of p_g/W (series-evaluated; all factors commute).
+
+    `pressure` [bar] is the hydrostatic external target p_ext*I.
+    """
+    n = state.n_atoms
+    ndof = 3 * n
+    kt = units.KB * temperature
+    p_ext = pressure / units.EVA3_TO_BAR  # eV/A^3
+    w, qb1_unit, qb2 = _npt_masses(ndof, kt, tdamp, pdamp)
+    n_modes = 6 if couple == "tri" else 3
+    qb1 = n_modes * qb1_unit
+    eye = jnp.eye(3, dtype=state.positions.dtype)
+
+    def couple_mask(m):
+        return m if couple == "tri" else m * eye
+
+    def baro_chain_half(aux):
+        ke2 = w * jnp.sum(aux.baro_v * aux.baro_v)  # Tr(p_g^2)/W
+        scale, xi, eta = _nhc_chain_half(
+            ke2, n_modes, aux.baro_thermo.xi, aux.baro_thermo.eta, dt, kt,
+            qb1, qb2,
+        )
+        return aux._replace(
+            baro_thermo=NHCAux(xi=xi, eta=eta), baro_v=aux.baro_v * scale
+        )
+
+    def omega_dot_half(state, aux):
+        """p_g += dt/2 [V(P_int - p_ext I) + (2KE/ndof) I]."""
+        vol = volume_of(state)
+        mvv = (
+            units.MVV2E
+            * (state.velocities * state.masses[:, None]).T
+            @ state.velocities
+        )
+        p_int = (mvv + _voigt_to_tensor(state.virial)) / vol
+        ke2 = 2.0 * kinetic_energy(state)
+        g = (vol * (p_int - p_ext * eye) + (ke2 / ndof) * eye) / w
+        g = 0.5 * (g + g.T)  # keep p_g exactly symmetric under fp roundoff
+        return aux._replace(baro_v=aux.baro_v + couple_mask(0.5 * dt * g))
+
+    def v_press_half(state, aux):
+        alpha = _sym_expm(
+            -0.5 * dt * (aux.baro_v + (jnp.trace(aux.baro_v) / ndof) * eye)
+        )
+        return dataclasses.replace(state, velocities=state.velocities @ alpha)
+
+    state, thermo = _nhc_half(state, aux.thermo, dt, temperature, tdamp)
+    aux = aux._replace(thermo=thermo)
+    aux = baro_chain_half(aux)
+    aux = omega_dot_half(state, aux)
+    state = v_press_half(state, aux)
+    state = _half_kick(state, dt)
+
+    # drift with cell deformation: the matrix analog of the exact iso map
+    # r' = r E + dt v E^{1/2} f(A),  h' = h E,  E = exp(dt p_g/W)
+    a = dt * aux.baro_v
+    e_full = _sym_expm(a)
+    e_half = _sym_expm(0.5 * a)
+    f_sinh = _sinh_ratio_m(a)
+    state = dataclasses.replace(
+        state,
+        positions=state.positions @ e_full
+        + dt * state.velocities @ (e_half @ f_sinh),
+        cell=state.cell @ e_full,
+    )
+
+    state = _with_forces(state, force_fn)
+
+    state = _half_kick(state, dt)
+    state = v_press_half(state, aux)
+    aux = omega_dot_half(state, aux)
+    aux = baro_chain_half(aux)
+    state, thermo = _nhc_half(state, aux.thermo, dt, temperature, tdamp)
+    state = dataclasses.replace(state, step=state.step + 1)
+    return state, aux._replace(thermo=thermo)
+
+
+def npt_aniso_conserved(
+    state: MDState,
+    aux: NPTAnisoAux,
+    temperature: float,
+    pressure: float,
+    tdamp: float,
+    pdamp: float,
+    couple: str = "tri",
+):
+    """Aniso-MTK conserved quantity H' = KE + PE + Tr(p_g^2)/(2W) + P_ext V
+    + particle-chain + barostat-chain terms [eV]."""
+    ndof = 3 * state.n_atoms
+    kt = units.KB * temperature
+    p_ext = pressure / units.EVA3_TO_BAR
+    w, qb1_unit, qb2 = _npt_masses(ndof, kt, tdamp, pdamp)
+    n_modes = 6 if couple == "tri" else 3
+    qb1 = n_modes * qb1_unit
+    q1 = ndof * kt * tdamp**2
+    q2 = kt * tdamp**2
+    t = aux.thermo
+    b = aux.baro_thermo
+    chain = (
+        0.5 * q1 * t.xi[0] ** 2
+        + 0.5 * q2 * t.xi[1] ** 2
+        + ndof * kt * t.eta[0]
+        + kt * t.eta[1]
+    )
+    baro_chain = (
+        0.5 * qb1 * b.xi[0] ** 2
+        + 0.5 * qb2 * b.xi[1] ** 2
+        + kt * (n_modes * b.eta[0] + b.eta[1])
+    )
+    return (
+        kinetic_energy(state)
+        + state.potential_energy
+        + 0.5 * w * jnp.sum(aux.baro_v * aux.baro_v)
+        + p_ext * volume_of(state)
+        + chain
+        + baro_chain
+    )
+
+
 def npt_conserved(
     state: MDState,
     aux: NPTAux,

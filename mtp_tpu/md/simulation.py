@@ -143,7 +143,7 @@ class Simulation:
         return fn
 
     def _force_fn_for(self, nl, state, *, ensemble="nve"):
-        cv = self.compute_virial or ensemble == "npt"
+        cv = self.compute_virial or ensemble.startswith("npt")
         if isinstance(nl, SortedNeighborList):
             return self.force_fn_window(
                 nl, state.types, compute_virial=cv,
@@ -354,6 +354,11 @@ class Simulation:
             elif ensemble == "npt":
                 state, aux = itg.npt_step(
                     state, aux, force_fn, dt, temperature, pressure, tdamp, pdamp
+                )
+            elif ensemble in ("npt-aniso", "npt-tri"):
+                state, aux = itg.npt_aniso_step(
+                    state, aux, force_fn, dt, temperature, pressure, tdamp,
+                    pdamp, couple="tri" if ensemble == "npt-tri" else "aniso",
                 )
             elif ensemble == "langevin":
                 state, aux = itg.langevin_step(
@@ -674,6 +679,8 @@ def _default_aux(ensemble, state):
         return itg.nhc_init(dtype)
     if ensemble == "npt":
         return itg.npt_init(dtype)
+    if ensemble in ("npt-aniso", "npt-tri"):
+        return itg.npt_aniso_init(dtype)
     if ensemble == "langevin":
         return itg.LangevinAux(jax.random.PRNGKey(0))
     return 0

@@ -326,7 +326,7 @@ def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("sched", "compute_virial"))
+@partial(jax.jit, static_argnames=("sched", "compute_virial", "compute_vatom"))
 def mtp_energy_forces_window(
     sched,
     coeffs,
@@ -340,6 +340,7 @@ def mtp_energy_forces_window(
     esp,
     xi_full,
     compute_virial: bool = True,
+    compute_vatom: bool = False,
 ):
     """Energy/forces/virial through the banded-window kernel path.
 
@@ -404,7 +405,23 @@ def mtp_energy_forces_window(
         site_energies=site_e[swl.inv_order],
         forces=forces,
     )
-    if compute_virial:
+    if compute_vatom:
+        # per-atom tally (v_tally_xyz per pair, pair_mtp_kokkos.cpp:639-643),
+        # computed in the transposed layout as J-axis sums — no (N, J, 3)
+        # relayout — then gathered back to user order. Matches the XLA
+        # path's _virial_tally convention (full-list double count = the
+        # half-share each end receives).
+        rT = dispT * maskf[None]
+        vxx = -jnp.sum(pair_tT[0] * rT[0], axis=0)
+        vyy = -jnp.sum(pair_tT[1] * rT[1], axis=0)
+        vzz = -jnp.sum(pair_tT[2] * rT[2], axis=0)
+        vxy = -0.5 * jnp.sum(pair_tT[0] * rT[1] + pair_tT[1] * rT[0], axis=0)
+        vxz = -0.5 * jnp.sum(pair_tT[0] * rT[2] + pair_tT[2] * rT[0], axis=0)
+        vyz = -0.5 * jnp.sum(pair_tT[1] * rT[2] + pair_tT[2] * rT[1], axis=0)
+        vatom_s = jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)
+        out["vatom"] = vatom_s[swl.inv_order].astype(forces.dtype)
+        out["virial"] = jnp.sum(vatom_s, axis=0).astype(forces.dtype)
+    elif compute_virial:
         # global virial straight from the transposed layouts (the per-atom
         # tally would force (N, J, 3) relayouts the kernel path avoids)
         rT = dispT * maskf[None]

@@ -172,6 +172,88 @@ def test_npt_conserved_quantity(system):
     assert drift < 2e-5 * state.n_atoms, f"NPT conserved-quantity drift {h - h[0]}"
 
 
+def test_npt_tri_conserved_quantity(system):
+    """Anisotropic (full-cell) MTK NPT conserved quantity must not drift
+    (VERDICT r2 item 8: the LAMMPS `fix npt aniso/tri` surface)."""
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(6), state0, 250.0)
+    sim = Simulation(model, max_neighbors=64, skin=0.3, steps_per_rebuild=20)
+    aux = itg.npt_aniso_init(jnp.float64)
+    kw = dict(temperature=250.0, pressure=0.0, tdamp=0.1, pdamp=0.5)
+    state, aux = sim.run(state, 80, aux=aux, ensemble="npt-tri", dt=0.001, **kw)
+    hs = []
+    for _ in range(8):
+        state, aux = sim.run(
+            state, 40, aux=aux, ensemble="npt-tri", dt=0.001, **kw
+        )
+        hs.append(float(itg.npt_aniso_conserved(state, aux, couple="tri", **kw)))
+    h = np.array(hs)
+    drift = np.abs(h - h[0]).max()
+    assert drift < 2e-5 * state.n_atoms, f"tri-NPT conserved drift {h - h[0]}"
+    # the barostat tensor must stay symmetric
+    bv = np.asarray(aux.baro_v)
+    np.testing.assert_allclose(bv, bv.T, atol=1e-14)
+
+
+def test_npt_aniso_keeps_cell_orthorhombic(system):
+    """couple='aniso' must evolve only the cell diagonal, with per-axis
+    rates free to differ (unlike iso)."""
+    model, state0 = system
+    state = thermalize(jax.random.PRNGKey(7), state0, 250.0)
+    sim = Simulation(model, max_neighbors=64, skin=0.3, steps_per_rebuild=10)
+    state, aux = sim.run(
+        state, 60, ensemble="npt-aniso", dt=0.001,
+        temperature=250.0, pressure=0.0, tdamp=0.1, pdamp=0.5,
+    )
+    cell = np.asarray(state.cell)
+    off = cell - np.diag(np.diag(cell))
+    assert np.abs(off).max() < 1e-12, f"aniso NPT produced tilt: {cell}"
+    assert float(jnp.linalg.det(state.cell)) != float(
+        jnp.linalg.det(state0.cell)
+    )
+    assert np.isfinite(np.asarray(state.positions)).all()
+
+
+def test_npt_tri_relaxes_shear_stress(system):
+    """A sheared box under a hydrostatic target must relax its tilt: the
+    elastic equilibrium of the cubic crystal is the unsheared cell, so the
+    tilt factor oscillates about ~0 instead of staying at the imposed value
+    (the reference's cfg writer even emits tilt factors,
+    pair_mtp_extrapolation.cpp:449-452). Tracked via the cell (the slow
+    barostat variable) averaged over a few barostat periods — the
+    instantaneous virial at 108 atoms is fluctuation-dominated."""
+    model, state0 = system
+    gamma0 = 0.03
+    shear = np.eye(3)
+    shear[1, 0] = gamma0  # row-vector convention: b gains an x component
+    state = thermalize(jax.random.PRNGKey(8), state0, 50.0)
+    import dataclasses as _dc
+
+    state = _dc.replace(
+        state,
+        positions=state.positions @ jnp.asarray(shear.T, state.positions.dtype),
+        cell=state.cell @ jnp.asarray(shear.T, state.cell.dtype),
+    )
+    sim = Simulation(
+        model, max_neighbors=64, skin=0.3, steps_per_rebuild=10,
+        compute_virial=True,
+    )
+    tilts = []
+    state, aux = sim.run(
+        state, 400, ensemble="npt-tri", dt=0.001,
+        temperature=50.0, pressure=0.0, tdamp=0.1, pdamp=0.05,
+        observer=lambda s: tilts.append(
+            float(s.cell[1, 0]) / float(s.cell[0, 0])
+        ),
+    )
+    late = np.mean(tilts[len(tilts) // 2 :])
+    assert abs(late) < 0.5 * gamma0, (
+        f"tilt did not relax: imposed {gamma0}, late average {late:.5f} "
+        f"(trace {np.round(tilts[::4], 5)})"
+    )
+    assert np.isfinite(np.asarray(state.positions)).all()
+
+
 def test_stale_flag_guards_long_rebuild_intervals(system):
     """Verlet staleness: with a tiny skin and a long rebuild interval, an
     atom moving > skin/2 mid-block must be flagged (run_async) and must make

@@ -31,6 +31,39 @@ def test_roundtrip_two_species(mtp_level8_2spec):
     np.testing.assert_allclose(m2.radial_coeffs, mtp_level8_2spec.radial_coeffs)
 
 
+def test_crlf_and_huge_single_line_arrays():
+    """MLIP-3 formatting quirks the reference needs workarounds for
+    (pair_mtp.cpp:489-492): index arrays as ONE multi-kilobyte line, and
+    Windows CRLF line endings. A level-16 basis makes alpha_index_times a
+    >10 kB single line; the parse must be byte-for-byte equivalent."""
+    m = make_mtp(16, species_count=1, seed=3)
+    blob = dumps_mtp(m)
+    assert max(len(ln) for ln in blob.split(b"\n")) > 4096  # the quirk is real
+    crlf = blob.replace(b"\n", b"\r\n")
+    m2 = loads_mtp(crlf)
+    np.testing.assert_array_equal(m2.alpha_index_times, m.alpha_index_times)
+    np.testing.assert_array_equal(m2.alpha_index_basic, m.alpha_index_basic)
+    np.testing.assert_allclose(m2.moment_coeffs, m.moment_coeffs)
+    np.testing.assert_allclose(m2.radial_coeffs, m.radial_coeffs)
+
+
+def test_wrapped_multiline_arrays():
+    """Hand-rewrapped files (arrays split across lines inside braces) parse
+    via brace-balanced continuation."""
+    m = make_mtp(8, species_count=1, seed=3)
+    blob = dumps_mtp(m).decode()
+    # break every top-level array line after each '},'
+    out = []
+    for line in blob.split("\n"):
+        if line.count("}, {") >= 2:
+            line = line.replace("}, {", "},\n  {")
+        out.append(line)
+    m2 = loads_mtp("\n".join(out).encode())
+    np.testing.assert_array_equal(m2.alpha_index_times, m.alpha_index_times)
+    np.testing.assert_array_equal(m2.alpha_index_basic, m.alpha_index_basic)
+    np.testing.assert_allclose(m2.moment_coeffs, m.moment_coeffs)
+
+
 def test_roundtrip_with_mvs(mtp_level8, rng):
     m = mtp_level8
     P = m.coeff_count

@@ -127,6 +127,57 @@ def test_giveback_trajectory_matches_xla_path(alloy):
     )
 
 
+def test_window_vatom_matches_xla_path(alloy):
+    """Per-atom virial (vatom) through the window path matches the XLA
+    path's _virial_tally atom by atom (the reference tallies vatom per pair
+    in every variant, pair_mtp_kokkos.cpp:639-643)."""
+    from mtp_tpu.models.mtp import (
+        mtp_energy_forces,
+        mtp_energy_forces_window,
+        window_constants,
+    )
+    from mtp_tpu.ops.neighbors import build_neighbor_list
+
+    model, state = alloy
+    cutoff = model.cutoff + 0.6
+    grid = grid_shape(np.asarray(state.cell), cutoff)
+    swl = build_sorted_neighbor_list(
+        state.positions, state.cell, cutoff, max_neighbors=64, grid=grid,
+        align_slots=True,
+    )
+    assert not bool(swl.overflow)
+    consts = window_constants(
+        model.schedule, model.coeffs, state.types, swl, jnp.float64
+    )
+    out_w = mtp_energy_forces_window(
+        model.schedule, model.coeffs, state.positions, state.cell, swl,
+        compute_virial=True, compute_vatom=True, **consts,
+    )
+    nl = build_neighbor_list(
+        state.positions, state.cell, cutoff, max_neighbors=64, grid=grid,
+        with_reverse=True,
+    )
+    out_x = mtp_energy_forces(
+        model.schedule, model.coeffs, state.positions, state.types,
+        nl.idx, state.cell, nl.mirror, backend="xla",
+        compute_virial=True, compute_vatom=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_w["vatom"]), np.asarray(out_x["vatom"]), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_w["virial"]), np.asarray(out_x["virial"]), atol=1e-10
+    )
+    # the vatom branch's global virial must agree with the virial-only branch
+    out_w2 = mtp_energy_forces_window(
+        model.schedule, model.coeffs, state.positions, state.cell, swl,
+        compute_virial=True, compute_vatom=False, **consts,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_w["virial"]), np.asarray(out_w2["virial"]), atol=1e-11
+    )
+
+
 def test_use_window_gates_on_actual_width(alloy):
     """The window gate must consider the width actually being built, not
     the Simulation's default: run_fused(max_neighbors=60) on a sim created

@@ -1,0 +1,96 @@
+"""On-device kernel smoke gate (VERDICT r2 item 10).
+
+Asserts, ON THE REAL TPU, that every Pallas kernel (megakernel fwd+bwd, the
+r1 fused pair kernels, window_disp, window_giveback + spill path) compiles
+under Mosaic and agrees with the XLA path — the interpreter-mode CPU tests
+can't catch Mosaic-only failures (alignment rules, SMEM budgets, layout
+crashes; see CLAUDE.md). Run BEFORE benches:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_smoke.py
+
+Analog of the reference's host-fallback cross-check (pair_mtp_kokkos.cpp:
+200-205: the same input through the scalar CPU path validates the device
+pipeline). Exits nonzero on any mismatch. ~1 min warm (compile cache).
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("tpu_smoke: no TPU backend — nothing to gate", file=sys.stderr)
+        return 1
+
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.md.simulation import Simulation, make_lattice
+    from mtp_tpu.md.state import init_state, thermalize
+    from mtp_tpu.models.mtp import MTPModel
+    from mtp_tpu.ops.neighbors import grid_shape
+
+    m = make_mtp(16, species_count=2, seed=0)
+    model = MTPModel.from_data(m, dtype=jnp.float32)
+    # (6,6,6) fcc = 864 atoms: grid (4,4,4) >= 3 so the window path engages;
+    # n_pad = 1024 = 4 tiles exercises multi-tile grids and the spill path
+    pos, types, cell = make_lattice("fcc", 4.0, (6, 6, 6), type_pattern=(0, 1))
+    n = len(pos)
+    state = thermalize(
+        jax.random.PRNGKey(0),
+        init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
+        300.0,
+    )
+    grid = grid_shape(cell, model.cutoff + 0.6)
+
+    def forces_of(**kw):
+        sim = Simulation(model, max_neighbors=56, skin=0.6,
+                         compute_virial=True, **kw)
+        nl = sim.rebuild(state, grid=grid, max_neighbors=56)
+        st = sim.refresh_forces(state, nl)
+        jax.block_until_ready(st.forces)
+        assert not bool(nl.overflow), f"overflow in {kw}"
+        return sim, nl, st
+
+    sim_x, nl_x, st_x = forces_of(backend="xla", window=False)
+    cases = {
+        "megakernel (r1 pallas backend)": dict(backend="pallas", window=False),
+        "window_disp + megakernel": dict(window=True, giveback=False),
+        "window + giveback kernels": dict(window=True, giveback=True),
+    }
+    fx = np.asarray(st_x.forces)
+    ok = True
+    for name, kw in cases.items():
+        sim, nl, st = forces_of(**kw)
+        f = np.asarray(st.forces)
+        df = float(np.max(np.abs(f - fx)))
+        de = abs(float(st.potential_energy) - float(st_x.potential_energy)) / n
+        dv = float(
+            np.max(np.abs(np.asarray(st.virial) - np.asarray(st_x.virial)))
+        )
+        good = df < 5e-4 and de < 1e-6 and dv < 5e-2
+        ok &= good
+        print(f"{name}: max|dF|={df:.2e} dE/atom={de:.2e} max|dW|={dv:.2e} "
+              f"{'OK' if good else 'FAIL'}")
+
+        # scan-amortized timing sanity (never benchmark one call through
+        # the tunnel: ~30 ms dispatch floor)
+        st2, _, stale = sim.steps(st, 0, nl, n_steps=50, dt=0.001)
+        float(jnp.sum(st2.positions))
+        t0 = time.perf_counter()
+        st2, _, stale = sim.steps(st, 0, nl, n_steps=50, dt=0.001)
+        float(jnp.sum(st2.positions))
+        dt_ms = (time.perf_counter() - t0) / 50 * 1e3
+        print(f"  50-step scan: {dt_ms:.2f} ms/step")
+
+    print("tpu_smoke:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
