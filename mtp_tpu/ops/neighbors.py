@@ -199,6 +199,10 @@ def build_neighbor_list(
         dtype=np.int32,
     )  # (K, 3)
 
+    # the candidate width and atom count bound the packed-key trick below
+    w_cand = len(stencil) * cap
+    can_pack = n < 2**20 and w_cand < 2**11
+
     def row_phase(args):
         """Distance-filter + compact for a block of center rows.
 
@@ -214,11 +218,19 @@ def build_neighbor_list(
         cand_safe = jnp.where(cand_valid, cand, 0)
 
         cand_pos = ptab[nb_id].reshape(b, -1, 3)  # (b, K*cap, 3) chunky gather
-        disp = cand_pos - cpos[:, None, :]
-        f = disp @ inv_cell
-        f -= jnp.round(f)
-        disp = f @ cell
-        d2 = jnp.sum(disp * disp, axis=-1)
+        # minimum image UNROLLED per component: the matrix form is two
+        # (b*W, 3) @ (3, 3) matmuls = 3/128 MXU lanes (the known pathology,
+        # see models/mtp.minimum_image); elementwise fuses into one pass
+        dc = [cand_pos[..., a] - cpos[:, a][:, None] for a in range(3)]
+        fr = [
+            dc[0] * inv_cell[0, a] + dc[1] * inv_cell[1, a] + dc[2] * inv_cell[2, a]
+            for a in range(3)
+        ]
+        fr = [fa - jnp.round(fa) for fa in fr]
+        d2 = jnp.zeros_like(fr[0])
+        for a in range(3):
+            da = fr[0] * cell[0, a] + fr[1] * cell[1, a] + fr[2] * cell[2, a]
+            d2 = d2 + da * da
         self_row = cand_safe == crow[:, None]
         keep = cand_valid & (d2 <= cutoff * cutoff) & (~self_row)
         if include_self_image:
@@ -234,16 +246,22 @@ def build_neighbor_list(
             # gather here is ~48M scalar picks at 32k (≈200 ms on v5e).
             keep = keep & real[crow][:, None]
 
-        # compact kept candidates to the front: score kept columns by
-        # decreasing (W - col) and take top_k (much cheaper than a full
-        # argsort of the candidate axis)
+        # compact kept candidates to the front by top_k over a score that
+        # decreases with column. The candidate VALUE rides in the key's low
+        # bits when it fits (n < 2^20, W < 2^11) — the take_along_axis it
+        # replaces is a (rows x J) scalar gather, ~1 s at 1M rows on v5e.
         w = keep.shape[1]
-        score = jnp.where(
-            keep, w - jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1), 0
-        )
-        vals, take = jax.lax.top_k(score, max_neighbors)
-        row_keep = vals > 0
-        row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
+        if can_pack:
+            packed = jnp.where(keep, ((w - col) << 20) | cand_safe, 0)
+            vals, _ = jax.lax.top_k(packed, max_neighbors)
+            row_keep = vals > 0
+            row_idx = vals & ((1 << 20) - 1)
+        else:
+            score = jnp.where(keep, w - col, 0)
+            vals, take = jax.lax.top_k(score, max_neighbors)
+            row_keep = vals > 0
+            row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
         idx = jnp.where(row_keep, row_idx, crow[:, None])
         return idx.astype(jnp.int32), jnp.max(jnp.sum(keep, axis=1))
 
@@ -407,7 +425,7 @@ def build_sorted_neighbor_list(
         from mtp_tpu.ops.window_disp import window_disp
         from mtp_tpu.ops.window_giveback import giveback_metadata
         from mtp_tpu.ops.slot_assign import (
-            assign_slots,
+            assign_slots_apply,
             octant_classes_T,
             reverse_slots,
         )
@@ -417,9 +435,12 @@ def build_sorted_neighbor_list(
         pos_pad = jnp.zeros((n_pad, 3), spos.dtype).at[:n].set(spos)
         dispT = window_disp(pos_pad, window_idx, wl, wl_counts, cell)
         cls = octant_classes_T(dispT, idx_pad)
-        perm, aligned = assign_slots(idx_pad, cls)
-        idx_pad = jnp.take_along_axis(idx_pad, perm, axis=1)
-        window_idx = jnp.take_along_axis(window_idx, perm, axis=1)
+        # applied form: per-row take_along_axis is a ~1 s scalar gather at
+        # 1M x 64 on v5e; the sort-payload variant returns the permuted
+        # arrays directly (CLAUDE.md round-4 facts)
+        idx_pad, window_idx, aligned = assign_slots_apply(
+            idx_pad, window_idx, cls
+        )
         mirror, rev = reverse_slots(idx_pad)
         gb = giveback_metadata(idx_pad, window_idx, rev, num_tiles(n_pad), wl)
         covered = covered & gb.pop("covered")

@@ -45,7 +45,7 @@ def num_tiles(n_pad: int) -> int:
     return n_pad // TN
 
 
-def worklists(idx_pad, n_tiles: int, maxw: int = MAXW):
+def worklists(idx_pad, n_tiles: int, maxw: int = MAXW, row_cap: int = 24):
     """Active source chunks per (tile, 128-lane half).
 
     Args:
@@ -54,6 +54,8 @@ def worklists(idx_pad, n_tiles: int, maxw: int = MAXW):
         :func:`pad_window_lists`).
       n_tiles: N_pad // TN.
       maxw: static worklist capacity.
+      row_cap: per-row distinct-chunk capacity for the two-level dedup
+        (measured ~8-12 at 32k-1M; overflow folds into `covered`).
 
     Returns (wl, counts, covered):
       wl: (n_tiles, 2, maxw) int32 sorted ascending chunk ids,
@@ -61,24 +63,45 @@ def worklists(idx_pad, n_tiles: int, maxw: int = MAXW):
       counts: (n_tiles, 2) int32 number of real items per block (the
         kernel's dynamic loop bound — sentinel slots are never visited).
       covered: () bool — False if any block has more than `maxw` distinct
-        chunks (treat like neighbor overflow).
+        chunks, or any row more than `row_cap` (treat like neighbor
+        overflow).
+
+    Two-level dedup: rows dedup first (J-wide sort, ~9 ms at 1M), then the
+    block pass sorts (128*row_cap)-wide slices instead of (128*J) — the
+    single-level form was 553 ms at 1M x 64 on v5e.
     """
     n_pad, j = idx_pad.shape
+    rc = min(row_cap, j)
     chunks = (idx_pad // 128).astype(jnp.int32)
-    blocks = chunks.reshape(n_tiles, 2, 128, j)
-    blocks = jnp.moveaxis(blocks, 3, 2).reshape(n_tiles, 2, j * 128)
+    cs = jnp.sort(chunks, axis=1)
+    rfirst = jnp.concatenate(
+        [jnp.ones((n_pad, 1), bool), cs[:, 1:] != cs[:, :-1]], axis=1
+    )
+    row_distinct = jnp.sum(rfirst, axis=1)
+    rows_c = jnp.sort(jnp.where(rfirst, cs, SENTINEL), axis=1)[:, :rc]
+    row_ok = jnp.max(row_distinct) <= rc
+
+    blocks = rows_c.reshape(n_tiles, 2, 128, rc)
+    blocks = jnp.moveaxis(blocks, 3, 2).reshape(n_tiles, 2, rc * 128)
     xs = jnp.sort(blocks, axis=-1)
-    first = jnp.concatenate(
-        [
-            jnp.ones(xs.shape[:-1] + (1,), bool),
-            xs[..., 1:] != xs[..., :-1],
-        ],
-        axis=-1,
+    first = (
+        jnp.concatenate(
+            [
+                jnp.ones(xs.shape[:-1] + (1,), bool),
+                xs[..., 1:] != xs[..., :-1],
+            ],
+            axis=-1,
+        )
+        & (xs < SENTINEL)
     )
     keys = jnp.where(first, xs, SENTINEL)
     wl = jnp.sort(keys, axis=-1)[..., :maxw]
     counts = jnp.sum(first, axis=-1).astype(jnp.int32)
-    return wl, jnp.minimum(counts, maxw), jnp.max(counts) <= maxw
+    return (
+        wl,
+        jnp.minimum(counts, maxw),
+        (jnp.max(counts) <= maxw) & row_ok,
+    )
 
 
 def pad_window_lists(idx, n_pad: int):

@@ -118,18 +118,35 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl):
     # ~0.49/atom at J=64 (class capacity 8; perfect lattices included once
     # zero-component ties are hash-broken), ~2.3/atom at J=56. The GLOBAL
     # count concentrates tightly, so a 1x/3x-per-atom cap has huge margin —
-    # unlike per-atom slots, whose max fluctuates to ~9. The consumer pays
-    # one K-element gather + one K-row scatter-add (~0.5 ms at 32k).
-    spill = (real & ~elig).reshape(-1)
+    # unlike per-atom slots, whose max fluctuates to ~9 (ROW_SP below has
+    # margin over that). The consumer pays one K-element gather + one K-row
+    # scatter-add (~0.5 ms at 32k).
+    #
+    # Extraction is two-level (per-row J-wide sort, then one flat sort of
+    # the N_pad*ROW_SP survivors) — jnp.flatnonzero over the flat 64M mask
+    # was a large fraction of the 962 ms giveback_metadata cost at 1M.
+    spill = real & ~elig  # (N_pad, J)
     k_spill = n_pad if j >= 64 else 3 * n_pad
-    sp_pos = jnp.flatnonzero(spill, size=k_spill, fill_value=-1)
-    sp_valid = sp_pos >= 0
-    sp_safe = jnp.maximum(sp_pos, 0)
+    row_sp = 16
+    iota_j = jnp.arange(j, dtype=jnp.int32)[None, :]
+    rows_sp = jnp.sort(
+        jnp.where(spill, iota_j, jnp.int32(2**24)), axis=1
+    )[:, :row_sp]  # per-row spill slots, ascending
+    row_counts = jnp.sum(spill, axis=1)
+    rows_ok = jnp.max(row_counts) <= row_sp
+    flat_keys = jnp.where(
+        rows_sp < 2**24,
+        rows[:, None] * j + rows_sp,
+        jnp.int32(2**30),
+    ).reshape(-1)
+    sp_pos = jax.lax.sort(flat_keys)[:k_spill]
+    sp_valid = sp_pos < 2**30
+    sp_safe = jnp.where(sp_valid, sp_pos, 0)
     sp_dst = jnp.where(sp_valid, sp_safe // j, n_pad).astype(jnp.int32)
     src = rev.reshape(-1)[sp_safe] * n_pad + idx.reshape(-1)[sp_safe]
     # padding entries point at the appended zero column of the flat table
     sp_src = jnp.where(sp_valid, src, j * n_pad).astype(jnp.int32)
-    spills_ok = jnp.sum(spill) <= k_spill
+    spills_ok = (jnp.sum(row_counts) <= k_spill) & rows_ok
 
     return dict(
         # 1-D: a 2-D (nt, NB) scalar-prefetch operand is padded to 128

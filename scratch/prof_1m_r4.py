@@ -23,7 +23,7 @@ from mtp_tpu.ops.neighbors import (
     build_sorted_neighbor_list,
     grid_shape,
 )
-from mtp_tpu.ops.slot_assign import assign_slots, octant_classes_T, reverse_slots
+from mtp_tpu.ops.slot_assign import assign_slots_apply, octant_classes_T, reverse_slots
 from mtp_tpu.ops.window_disp import num_tiles, pad_window_lists, window_disp, worklists
 from mtp_tpu.ops.window_giveback import giveback_metadata
 
@@ -126,13 +126,9 @@ pos_pad = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(spos)
 dispT, _ = timeit("  window_disp (rebuild)", lambda: window_disp(
     pos_pad, wi0, wl, wlc, cell_j))
 cls, _ = timeit("  octant_classes_T", lambda: jax.jit(octant_classes_T)(dispT, idx_pad))
-timeit("  assign_slots", lambda: jax.jit(assign_slots)(idx_pad, cls)[0])
-perm, aligned = jax.jit(assign_slots)(idx_pad, cls)
-timeit("  apply perm x2", lambda: jax.jit(
-    lambda i, w, p: (jnp.take_along_axis(i, p, axis=1),
-                     jnp.take_along_axis(w, p, axis=1)))(idx_pad, wi0, perm))
-idx_al = jax.block_until_ready(jnp.take_along_axis(idx_pad, perm, axis=1))
-wi_al = jax.block_until_ready(jnp.take_along_axis(wi0, perm, axis=1))
+timeit("  assign_slots_apply", lambda: jax.jit(assign_slots_apply)(idx_pad, wi0, cls)[0])
+idx_al, wi_al, aligned = jax.jit(assign_slots_apply)(idx_pad, wi0, cls)
+idx_al = jax.block_until_ready(idx_al)
 timeit("  reverse_slots", lambda: jax.jit(reverse_slots)(idx_al)[0])
 mirror, rev = jax.jit(reverse_slots)(idx_al)
 timeit("  giveback_metadata", lambda: jax.jit(
