@@ -179,6 +179,69 @@ def main():
     _jsonline(config="4k-atom neighborhood AL grade eval", atoms=len(pos),
               grade_evals_per_s=round(1 / dt, 2), max_grade=round(mg, 3))
 
+    # 4b. AL fused with MD at bench scale: 32k atoms, level-16, grades every
+    # 30 steps through run_with_extrapolation (Verlet-list reuse + shared
+    # forward). The marginal AL cost per grade step should be ~one force
+    # evaluation (the reference's ComputeAlphaBasicRad economics).
+    from mtp_tpu.al.driver import ExtrapolationMonitor, run_with_extrapolation
+
+    m16al = make_mtp(16, species_count=1, seed=0)
+    pos4, types4, cell4 = make_lattice("fcc", 4.0, (10, 10, 10))
+    rng = np.random.default_rng(1)
+    rows = []
+    for s in (0.02, 0.06, 0.1):
+        p = jnp.asarray(pos4 + rng.normal(scale=s, size=pos4.shape), jnp.float32)
+        nl4 = build_neighbor_list(
+            p, jnp.asarray(cell4, jnp.float32), 5.0,
+            max_neighbors=64, grid=grid_shape(cell4, 5.0),
+        )
+        b4, _ = candidate_vectors(
+            MTPModel.from_data(m16al, dtype=jnp.float32).schedule,
+            MTPModel.from_data(m16al, dtype=jnp.float32).coeffs,
+            p, jnp.asarray(types4), nl4.idx, jnp.asarray(cell4, jnp.float32),
+        )
+        rows.append(np.asarray(b4))
+    m16al.mvs = build_mvs(np.concatenate(rows, 0), mode="neighborhood")
+    model_al = MTPModel.from_data(m16al, dtype=jnp.float32)
+
+    pos, types, cell = make_lattice("fcc", 4.0, (20, 20, 20))  # 32k
+    n = len(pos)
+    state = thermalize(
+        jax.random.PRNGKey(5),
+        init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
+        300.0,
+    )
+    sim = Simulation(model_al, max_neighbors=56, skin=0.6,
+                     steps_per_rebuild=30, compute_virial=False)
+    eq = dataclasses.replace(sim, steps_per_rebuild=10)
+    state, _, fl = eq.run_async(state, 60, ensemble="nve", dt=0.001)
+    float(jnp.sum(state.positions)); assert not bool(fl)
+    mon = ExtrapolationMonitor(model_al)
+    n_steps, al_every = 120, 30
+    # warm compile
+    state = run_with_extrapolation(sim, mon, state, al_every,
+                                   al_every=al_every, ensemble="nve", dt=0.001)
+    t0 = time.perf_counter()
+    state = run_with_extrapolation(sim, mon, state, n_steps,
+                                   al_every=al_every, ensemble="nve", dt=0.001)
+    dt_al = time.perf_counter() - t0
+    # pure-MD wall time of the same segment for the marginal AL cost
+    state2, _, fl = sim.run_async(state, n_steps, ensemble="nve", dt=0.001)
+    float(jnp.sum(state2.positions))
+    t0 = time.perf_counter()
+    state2, _, fl = sim.run_async(state, n_steps, ensemble="nve", dt=0.001)
+    float(jnp.sum(state2.positions))
+    dt_md = time.perf_counter() - t0
+    n_evals = n_steps // al_every + 1
+    _jsonline(
+        config="32k-atom level-16 AL (grades every 30 steps, fused)",
+        atoms=n,
+        atom_steps_per_s_with_al=round(n * n_steps / dt_al, 1),
+        atom_steps_per_s_pure_md=round(n * n_steps / dt_md, 1),
+        ms_per_grade_eval=round((dt_al - dt_md) / n_evals * 1e3, 2),
+        max_grade=round(mon.max_grade, 3),
+    )
+
     # 5. large system single chip (the per-chip shard size of a multi-chip run)
     pos, types, cell = make_lattice("fcc", 4.0, (40, 40, 25))  # 160k atoms
     n = len(pos)

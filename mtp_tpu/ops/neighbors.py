@@ -194,6 +194,32 @@ def build_neighbor_list(
     def offs(g):
         return np.arange(g) if g < 3 else np.array([-1, 0, 1])
 
+    # Fat-row tables: when the grid supports a true 3x3 (y, z) stencil,
+    # pre-concatenate each bin's 9-bin (y, z) neighborhood (periodic rolls
+    # at build time, ~20 ms of streaming) so every atom gathers 3 fat rows
+    # (x-1, x, x+1) instead of 27 thin ones. XLA row gathers are row-count
+    # bound; the thin-row form measured 733 ms of the 1M cell build.
+    use_fat = gy >= 3 and gz >= 3 and not include_self_image
+    if use_fat:
+        def fatten(t):
+            c = t.shape[1]
+            s = t.shape[2:]  # () for the id table, (3,) for positions
+            tz = t.reshape(gx * gy, gz, c, *s)
+            t3 = jnp.concatenate(
+                [jnp.roll(tz, 1, axis=1), tz, jnp.roll(tz, -1, axis=1)],
+                axis=2,
+            )
+            t3 = t3.reshape(gx, gy, gz, 3 * c, *s)
+            t9 = jnp.concatenate(
+                [jnp.roll(t3, 1, axis=1), t3, jnp.roll(t3, -1, axis=1)],
+                axis=3,
+            )
+            return t9.reshape(ncells, 9 * c, *s)
+
+        table9 = fatten(table[:ncells])
+        ptab9 = fatten(ptab[:ncells])
+        stencil_x = np.asarray(offs(gx), dtype=np.int32)  # (Kx,)
+
     stencil = np.array(
         [(ox, oy, oz) for ox in offs(gx) for oy in offs(gy) for oz in offs(gz)],
         dtype=np.int32,
@@ -211,13 +237,18 @@ def build_neighbor_list(
         (pair_mtp_kokkos.cpp:287-361)."""
         cbin3, cpos, crow = args
         b = cbin3.shape[0]
-        nb3 = (cbin3[:, None, :] + stencil[None, :, :]) % dims  # (b, K, 3)
-        nb_id = (nb3[..., 0] * gy + nb3[..., 1]) * gz + nb3[..., 2]
-        cand = table[nb_id].reshape(b, -1)  # (b, K*cap)
+        if use_fat:
+            nbx = (cbin3[:, None, 0] + stencil_x[None, :]) % gx  # (b, Kx)
+            nb_id = (nbx * gy + cbin3[:, None, 1]) * gz + cbin3[:, None, 2]
+            cand = table9[nb_id].reshape(b, -1)  # (b, Kx*9*cap)
+            cand_pos = ptab9[nb_id].reshape(b, -1, 3)
+        else:
+            nb3 = (cbin3[:, None, :] + stencil[None, :, :]) % dims  # (b, K, 3)
+            nb_id = (nb3[..., 0] * gy + nb3[..., 1]) * gz + nb3[..., 2]
+            cand = table[nb_id].reshape(b, -1)  # (b, K*cap)
+            cand_pos = ptab[nb_id].reshape(b, -1, 3)  # chunky row gather
         cand_valid = cand >= 0
         cand_safe = jnp.where(cand_valid, cand, 0)
-
-        cand_pos = ptab[nb_id].reshape(b, -1, 3)  # (b, K*cap, 3) chunky gather
         # minimum image UNROLLED per component: the matrix form is two
         # (b*W, 3) @ (3, 3) matmuls = 3/128 MXU lanes (the known pathology,
         # see models/mtp.minimum_image); elementwise fuses into one pass

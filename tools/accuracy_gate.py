@@ -121,6 +121,8 @@ def run_fp32():
             model.schedule, model.coeffs, state.positions, state.cell, nl,
             compute_virial=False, **consts,
         )
+        # mtp_energy_forces_window returns site energies already permuted
+        # back to user order (verified vs the XLA path on CPU)
         site_e = np.asarray(out["site_energies"], np.float64)[:n]
     else:
         from mtp_tpu.models.mtp import mtp_energy_forces
@@ -150,9 +152,13 @@ def run_fp32():
         max_site_e_err=float(
             np.abs(site_e - ref["site_energies"]).max()
         ),
+        rms_site_e_err=float(
+            np.sqrt(((site_e - ref["site_energies"]) ** 2).mean())
+        ),
         max_dvirial=float(
             np.abs(np.asarray(f32_virial, np.float64) - ref["virial"]).max()
         ),
+        virial_scale=float(np.abs(ref["virial"]).max()),
     )
     print(json.dumps(d))
 
