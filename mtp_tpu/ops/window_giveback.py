@@ -268,12 +268,19 @@ def window_giveback(pair_T, wl, meta):
         interpret=_interpret(),
     )(meta["bases"], wl, meta["off"], pair_T, meta["ilF"], meta["o2F"])
 
-    # spills: compact gather from the flat (J*N [+zero]) table + a small
-    # row scatter-add (padding rows land on the discarded n_pad slot)
-    flat = jnp.concatenate(
-        [pair_T.reshape(3, j * n_pad), jnp.zeros((3, 1), dtype)], axis=1
-    )
-    vals = flat[:, meta["sp_src"]]  # (3, K)
+    # spills: compact gather from the flat (J*N) table + a small row
+    # scatter-add (padding rows land on the discarded n_pad slot).
+    # Measured forms at 1M/J=64 on v5e (scratch/prof_spills.py): this 2-D
+    # column gather with a validity mask 58.8 ms; the old zero-column
+    # concatenate form 67.2 ms; three per-component 1-D gathers 104 ms;
+    # 8-lane row gather + one-hot lane select 137 ms. The 2-D form wins —
+    # XLA amortizes the 3 components per pick and the 64M-element table
+    # cost dominates pick layout.
+    sp_src = meta["sp_src"]
+    valid = sp_src < j * n_pad
+    src = jnp.where(valid, sp_src, 0)
+    flat = pair_T.reshape(3, j * n_pad)
+    vals = flat[:, src] * valid[None].astype(dtype)  # (3, K)
     extra = jnp.zeros((n_pad + 1, 3), dtype).at[meta["sp_dst"]].add(vals.T)
     return out + extra[:n_pad].T
 
