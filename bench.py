@@ -41,18 +41,18 @@ def main():
 
     from mtp_tpu.ops.neighbors import grid_shape
 
-    # J=56 is the tightest width that never overflows the ~43-neighbor
-    # (cutoff+skin~5.5) shells under 300 K fluctuations (J=48 trips the
-    # overflow flag mid-run); gathers and the megakernel scale with J.
+    # J=64: the in-kernel Newton give-back needs a full 8 slots per octant
+    # class (J/8 groups >= 8 octants; J=56 leaves one octant structurally
+    # misaligned and intermittently overflows the spill capacity). With the
+    # give-back kernel + sorted-space block integration the J=64 config
+    # measured 3.9M atom-steps/s vs 2.39M for the mirror path at J=56
+    # (scratch/sweep32k.py, /tmp/diag_gb32k.py protocol).
     # skin=0.6: the Verlet staleness check flags any atom moving > skin/2
     # between rebuilds; at 300 K the max 30-step displacement over 32k
     # atoms is ~0.24 A, right at a 0.5-skin's threshold — 0.6 gives margin.
-    # giveback=False: at 32k the in-kernel Newton give-back ties the flat
-    # mirror gather (~2.08M vs ~2.13M); the kernel wins at 160k+ (1.9x)
-    # where XLA row gathers degrade. Measured scratch/bench_window.py.
     sim = Simulation(
-        model, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
-        compute_virial=False, giveback=False,
+        model, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
+        compute_virial=False, giveback=True,
     )
     grid = grid_shape(cell, model.cutoff + 0.6)
 
@@ -62,8 +62,8 @@ def main():
     # intervals: right after thermalize the max-displacement tail is fatter
     # and can trip the Verlet staleness flag at steps_per_rebuild=30
     eq = Simulation(
-        model, max_neighbors=56, skin=0.6, steps_per_rebuild=10,
-        compute_virial=False, giveback=False,
+        model, max_neighbors=64, skin=0.6, steps_per_rebuild=10,
+        compute_virial=False, giveback=True,
     )
     state, _, eq_ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
     assert not bool(eq_ovf), "equilibration overflow"

@@ -40,7 +40,7 @@ def main():
             300.0,
         )
         sim = Simulation(
-            model, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
+            model, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
             compute_virial=run_kw.pop("virial", False),
         )
         ensemble = run_kw.pop("ensemble", "nve")
@@ -106,8 +106,8 @@ def main():
         init_state(pos, types, np.full(len(pos), 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model16, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
-                     compute_virial=False, giveback=False)
+    sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
+                     compute_virial=False)
     eq = dataclasses.replace(sim, steps_per_rebuild=10)
     state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
@@ -132,7 +132,7 @@ def main():
         init_state(pos, types, np.where(types == 0, 58.693, 95.95), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model2s, max_neighbors=56, skin=0.6, steps_per_rebuild=30,
+    sim = Simulation(model2s, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
                      compute_virial=False)
     eq = dataclasses.replace(sim, steps_per_rebuild=10)
     state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
@@ -211,7 +211,7 @@ def main():
         init_state(pos, types, np.full(n, 58.693), cell, dtype=jnp.float32),
         300.0,
     )
-    sim = Simulation(model_al, max_neighbors=56, skin=0.6,
+    sim = Simulation(model_al, max_neighbors=64, skin=0.6,
                      steps_per_rebuild=30, compute_virial=False)
     eq = dataclasses.replace(sim, steps_per_rebuild=10)
     state, _, fl = eq.run_async(state, 60, ensemble="nve", dt=0.001)

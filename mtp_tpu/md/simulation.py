@@ -26,6 +26,8 @@ from mtp_tpu.md import integrators as itg
 from mtp_tpu.md.state import MDState
 from mtp_tpu.models.mtp import (
     MTPModel,
+    _gather_rows3,
+    _gather_scalar,
     mtp_energy_forces,
     mtp_energy_forces_window,
     window_constants,
@@ -108,21 +110,29 @@ class Simulation:
     def _use_giveback(
         self, grid: tuple, n: int, max_neighbors: int | None = None
     ) -> bool:
+        j = self.max_neighbors if max_neighbors is None else max_neighbors
         if self.giveback == "auto":
-            # the in-kernel give-back beats the flat mirror gather only
-            # once XLA's row-gather cost dominates: measured crossover
-            # between 32k (tie) and 160k (1.9x win); small systems pay the
-            # kernel's fixed per-tile overheads for nothing
-            use = n >= 100_000
+            # the in-kernel give-back beats the flat mirror gather at EVERY
+            # measured size once the spill path and sorted-space block
+            # integration landed (v5e, J=64: 2k 2.1M vs 1.0M, 32k 3.9M vs
+            # 2.2M, 1M 4x — scratch/sweep32k.py). Engage when the octant
+            # classes have capacity >= 8 (J/8): below that (J=56 -> 7) the
+            # class-overflow spill rate jumps ~5x (2.3 vs 0.49 per atom) and
+            # intermittently overflows the per-row spill capacity at 300 K.
+            use = j >= 64
         else:
             use = bool(self.giveback)
         return use and self._use_window(grid, max_neighbors)
 
     def force_fn_window(
-        self, swl: SortedNeighborList, types, compute_virial=None, dtype=jnp.float32
+        self, swl: SortedNeighborList, types, compute_virial=None,
+        dtype=jnp.float32, sorted_io: bool = False,
     ):
         """Force closure for the banded-window path. Everything that depends
-        only on (types, lists) is precomputed here, outside any step scan."""
+        only on (types, lists) is precomputed here, outside any step scan.
+        `types` is always USER order; `sorted_io=True` makes the closure take
+        sorted-space positions and return sorted-space forces (step scans
+        integrate in sorted space, see :meth:`_scan_with_nl`)."""
         sched = self.model.schedule
         coeffs = self.model.coeffs
         cv = self.compute_virial if compute_virial is None else compute_virial
@@ -136,18 +146,19 @@ class Simulation:
                 cell,
                 swl,
                 compute_virial=cv,
+                sorted_io=sorted_io,
                 **consts,
             )
             return out["forces"], out["energy"], out["virial"]
 
         return fn
 
-    def _force_fn_for(self, nl, state, *, ensemble="nve"):
+    def _force_fn_for(self, nl, state, *, ensemble="nve", sorted_io=False):
         cv = self.compute_virial or ensemble.startswith("npt")
         if isinstance(nl, SortedNeighborList):
             return self.force_fn_window(
                 nl, state.types, compute_virial=cv,
-                dtype=state.positions.dtype,
+                dtype=state.positions.dtype, sorted_io=sorted_io,
             )
         return self.force_fn(
             nl.idx, nl.mirror, compute_virial=cv, types=state.types
@@ -266,17 +277,14 @@ class Simulation:
                 grid=grid,
                 with_reverse=True,
             )
-        force_fn = self._force_fn_for(nl, state, ensemble=ensemble)
-        if refresh:
-            # incoming forces are stale/zero (first block after init or after
-            # an overflow retry); recompute. Otherwise the forces carried from
-            # the previous block's last step are already position-consistent.
-            state = itg._with_forces(state, force_fn)
-
-        state, aux, stale = self._scan_steps(
+        # refresh: incoming forces are stale/zero (first block after init or
+        # after an overflow retry); recompute. Otherwise the forces carried
+        # from the previous block's last step are position-consistent.
+        state, aux, stale = self._scan_with_nl(
             state,
             aux,
-            force_fn,
+            nl,
+            refresh=refresh,
             ensemble=ensemble,
             n_steps=n_steps,
             dt=dt,
@@ -284,10 +292,53 @@ class Simulation:
             pressure=pressure,
             tdamp=tdamp,
             pdamp=pdamp,
-            ref_positions=nl.reference_positions,
-            ref_cell=nl.reference_cell,
         )
         return state, aux, nl.overflow, stale
+
+    @staticmethod
+    def _permute_state(state: MDState, perm):
+        """Reorder every per-atom row of the state by `perm` (same N — no
+        padding, so n_atoms/DOF counting and all observables are exact)."""
+        return dataclasses.replace(
+            state,
+            positions=_gather_rows3(state.positions, perm),
+            velocities=_gather_rows3(state.velocities, perm),
+            forces=_gather_rows3(state.forces, perm),
+            masses=_gather_scalar(state.masses, perm),
+            types=_gather_scalar(state.types, perm).astype(state.types.dtype),
+        )
+
+    def _scan_with_nl(self, state, aux, nl, *, refresh=False, **kw):
+        """Run the step scan against a frozen list. For the banded-window
+        path the whole block integrates in SORTED space: one row permute in
+        and one out per block instead of two per step (the order gathers
+        measured ~20 ms/step at 1M on v5e). Integrators are permutation-
+        equivariant (elementwise + global reductions), so only the force
+        closure and the staleness references need the sorted convention.
+        Returns (state, aux, stale) with `state` back in user order."""
+        if isinstance(nl, SortedNeighborList):
+            force_fn = self._force_fn_for(
+                nl, state, ensemble=kw["ensemble"], sorted_io=True
+            )
+            state = self._permute_state(state, nl.order)
+            if refresh:
+                state = itg._with_forces(state, force_fn)
+            state, aux, stale = self._scan_steps(
+                state, aux, force_fn,
+                ref_positions=_gather_rows3(nl.reference_positions, nl.order),
+                ref_cell=nl.reference_cell,
+                **kw,
+            )
+            return self._permute_state(state, nl.inv_order), aux, stale
+        force_fn = self._force_fn_for(nl, state, ensemble=kw["ensemble"])
+        if refresh:
+            state = itg._with_forces(state, force_fn)
+        return self._scan_steps(
+            state, aux, force_fn,
+            ref_positions=nl.reference_positions,
+            ref_cell=nl.reference_cell,
+            **kw,
+        )
 
     def _scan_steps(
         self,
@@ -445,11 +496,10 @@ class Simulation:
         Returns (state, aux, stale): `stale` is a device bool set if any atom
         moved > skin/2 since the list build (the block's physics can no
         longer be trusted — rebuild more often)."""
-        force_fn = self._force_fn_for(nl, state, ensemble=ensemble)
-        return self._scan_steps(
+        return self._scan_with_nl(
             state,
             aux,
-            force_fn,
+            nl,
             ensemble=ensemble,
             n_steps=n_steps,
             dt=dt,
@@ -457,8 +507,6 @@ class Simulation:
             pressure=pressure,
             tdamp=tdamp,
             pdamp=pdamp,
-            ref_positions=nl.reference_positions,
-            ref_cell=nl.reference_cell,
         )
 
     def run_async(

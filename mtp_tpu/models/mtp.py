@@ -326,7 +326,10 @@ def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("sched", "compute_virial", "compute_vatom"))
+@partial(
+    jax.jit,
+    static_argnames=("sched", "compute_virial", "compute_vatom", "sorted_io"),
+)
 def mtp_energy_forces_window(
     sched,
     coeffs,
@@ -341,6 +344,7 @@ def mtp_energy_forces_window(
     xi_full,
     compute_virial: bool = True,
     compute_vatom: bool = False,
+    sorted_io: bool = False,
 ):
     """Energy/forces/virial through the banded-window kernel path.
 
@@ -352,6 +356,12 @@ def mtp_energy_forces_window(
     arrays (`it_row`, `jtypes_t`, `pair_valid_t`, `esp`, `xi_full`) are
     rebuild-constant and must be precomputed outside any step scan (XLA
     does not hoist them, see mtp_energy_forces).
+
+    `sorted_io=True`: `positions` are ALREADY in sorted space (row k =
+    atom order[k], shape (N, 3)) and forces/site_energies/vatom are
+    returned in sorted space too — no per-call order gathers. Step scans
+    use this (the two (N,)-row permutes cost ~20 ms/step at 1M; sorting
+    once per block and integrating in sorted space makes them per-block).
     """
     from mtp_tpu.ops.pallas_moments import site_energies_mega
     from mtp_tpu.ops.window_disp import window_disp
@@ -360,7 +370,7 @@ def mtp_energy_forces_window(
     n_pad = swl.idx.shape[0]
     dtype = positions.dtype
 
-    pos_s = _gather_rows3(positions, swl.order)
+    pos_s = positions if sorted_io else _gather_rows3(positions, swl.order)
     if n_pad != n:
         pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
     dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)  # (3, J, N_pad)
@@ -398,13 +408,20 @@ def mtp_energy_forces_window(
         # accumulate t_ji from own-centered pairs (their own mask is off).
         t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
         forces_s = jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
-    forces = _gather_rows3(forces_s, swl.inv_order)  # user order, (N, 3)
-
-    out = dict(
-        energy=jnp.sum(site_e),
-        site_energies=site_e[swl.inv_order],
-        forces=forces,
-    )
+    if sorted_io:
+        forces = forces_s[:n]
+        out = dict(
+            energy=jnp.sum(site_e),
+            site_energies=site_e[:n],
+            forces=forces,
+        )
+    else:
+        forces = _gather_rows3(forces_s, swl.inv_order)  # user order, (N, 3)
+        out = dict(
+            energy=jnp.sum(site_e),
+            site_energies=site_e[swl.inv_order],
+            forces=forces,
+        )
     if compute_vatom:
         # per-atom tally (v_tally_xyz per pair, pair_mtp_kokkos.cpp:639-643),
         # computed in the transposed layout as J-axis sums — no (N, J, 3)
@@ -419,7 +436,9 @@ def mtp_energy_forces_window(
         vxz = -0.5 * jnp.sum(pair_tT[0] * rT[2] + pair_tT[2] * rT[0], axis=0)
         vyz = -0.5 * jnp.sum(pair_tT[1] * rT[2] + pair_tT[2] * rT[1], axis=0)
         vatom_s = jnp.stack([vxx, vyy, vzz, vxy, vxz, vyz], axis=-1)
-        out["vatom"] = vatom_s[swl.inv_order].astype(forces.dtype)
+        out["vatom"] = (
+            vatom_s[:n] if sorted_io else vatom_s[swl.inv_order]
+        ).astype(forces.dtype)
         out["virial"] = jnp.sum(vatom_s, axis=0).astype(forces.dtype)
     elif compute_virial:
         # global virial straight from the transposed layouts (the per-atom
