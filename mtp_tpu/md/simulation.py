@@ -30,6 +30,7 @@ from mtp_tpu.models.mtp import (
     _gather_scalar,
     mtp_energy_forces,
     mtp_energy_forces_window,
+    mtp_energy_window,
     window_constants,
 )
 from mtp_tpu.ops.neighbors import (
@@ -127,12 +128,17 @@ class Simulation:
     def force_fn_window(
         self, swl: SortedNeighborList, types, compute_virial=None,
         dtype=jnp.float32, sorted_io: bool = False,
+        compute_energy: bool = True,
     ):
         """Force closure for the banded-window path. Everything that depends
         only on (types, lists) is precomputed here, outside any step scan.
         `types` is always USER order; `sorted_io=True` makes the closure take
         sorted-space positions and return sorted-space forces (step scans
-        integrate in sorted space, see :meth:`_scan_with_nl`)."""
+        integrate in sorted space, see :meth:`_scan_with_nl`).
+        `compute_energy=False` skips the forward energy kernel (MD steps
+        need forces + virial only — the reference's eflag economics); the
+        closure then returns energy 0 and the block driver refreshes the
+        real value once per block via :func:`mtp_energy_window`."""
         sched = self.model.schedule
         coeffs = self.model.coeffs
         cv = self.compute_virial if compute_virial is None else compute_virial
@@ -147,10 +153,18 @@ class Simulation:
                 swl,
                 compute_virial=cv,
                 sorted_io=sorted_io,
+                compute_energy=compute_energy,
                 **consts,
             )
             return out["forces"], out["energy"], out["virial"]
 
+        def energy_fn(positions, cell):
+            return mtp_energy_window(
+                sched, coeffs, positions, cell, swl,
+                sorted_io=sorted_io, **consts,
+            )
+
+        fn.energy_fn = energy_fn
         return fn
 
     def _force_fn_for(self, nl, state, *, ensemble="nve", sorted_io=False):
@@ -317,8 +331,15 @@ class Simulation:
         closure and the staleness references need the sorted convention.
         Returns (state, aux, stale) with `state` back in user order."""
         if isinstance(nl, SortedNeighborList):
-            force_fn = self._force_fn_for(
-                nl, state, ensemble=kw["ensemble"], sorted_io=True
+            # force-only steps (compute_energy=False): the forward energy
+            # kernel (HIGHEST-precision DAG) runs once per block below, not
+            # once per step — the eflag economics of the reference.
+            force_fn = self.force_fn_window(
+                nl, state.types,
+                compute_virial=self.compute_virial
+                or kw["ensemble"].startswith("npt"),
+                dtype=state.positions.dtype, sorted_io=True,
+                compute_energy=False,
             )
             state = self._permute_state(state, nl.order)
             if refresh:
@@ -328,6 +349,10 @@ class Simulation:
                 ref_positions=_gather_rows3(nl.reference_positions, nl.order),
                 ref_cell=nl.reference_cell,
                 **kw,
+            )
+            state = dataclasses.replace(
+                state,
+                potential_energy=force_fn.energy_fn(state.positions, state.cell),
             )
             return self._permute_state(state, nl.inv_order), aux, stale
         force_fn = self._force_fn_for(nl, state, ensemble=kw["ensemble"])

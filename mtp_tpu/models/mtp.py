@@ -328,7 +328,10 @@ def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
 
 @partial(
     jax.jit,
-    static_argnames=("sched", "compute_virial", "compute_vatom", "sorted_io"),
+    static_argnames=(
+        "sched", "compute_virial", "compute_vatom", "sorted_io",
+        "compute_energy",
+    ),
 )
 def mtp_energy_forces_window(
     sched,
@@ -345,6 +348,7 @@ def mtp_energy_forces_window(
     compute_virial: bool = True,
     compute_vatom: bool = False,
     sorted_io: bool = False,
+    compute_energy: bool = True,
 ):
     """Energy/forces/virial through the banded-window kernel path.
 
@@ -362,8 +366,17 @@ def mtp_energy_forces_window(
     returned in sorted space too — no per-call order gathers. Step scans
     use this (the two (N,)-row permutes cost ~20 ms/step at 1M; sorting
     once per block and integrating in sorted space makes them per-block).
+
+    `compute_energy=False`: skip the forward energy kernel entirely —
+    forces come from the standalone backward (pair_forces_mega), which
+    reconstructs everything from xi. The reference's eflag economics
+    (pair_mtp.cpp:72-90): MD steps need forces (+virial under NPT), energy
+    is an observable computed at block boundaries. The forward's DAG runs
+    at Precision.HIGHEST for the <1e-6 eV/atom gate (3x its MXU passes),
+    so keeping it out of the step scan is both faster AND lets the energy
+    stay exact. energy/site_energies are returned as zeros.
     """
-    from mtp_tpu.ops.pallas_moments import site_energies_mega
+    from mtp_tpu.ops.pallas_moments import pair_forces_mega, site_energies_mega
     from mtp_tpu.ops.window_disp import window_disp
 
     n = positions.shape[0]
@@ -380,14 +393,16 @@ def mtp_energy_forces_window(
         (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
     ).astype(dtype)
 
-    site_e, vjp = jax.vjp(
-        lambda dT: site_energies_mega(
-            sched, dT, maskf, it_row, jtypes_t,
-            coeffs.radial_coeffs.astype(dtype), xi_full, esp,
-        ),
-        dispT,
+    rc = coeffs.radial_coeffs.astype(dtype)
+    if compute_energy:
+        site_e = site_energies_mega(
+            sched, dispT, maskf, it_row, jtypes_t, rc, xi_full, esp
+        )
+    else:
+        site_e = jnp.zeros((n_pad,), dtype)
+    pair_tT = pair_forces_mega(
+        sched, dispT, maskf, it_row, jtypes_t, rc, xi_full
     )
-    (pair_tT,) = vjp(jnp.ones_like(site_e))
 
     if swl.gb is not None:
         # in-kernel Newton give-back: no (N*J)-row mirror gather, no
@@ -456,6 +471,46 @@ def mtp_energy_forces_window(
     else:
         out["virial"] = jnp.zeros((6,), dtype=forces.dtype)
     return out
+
+
+@partial(jax.jit, static_argnames=("sched", "sorted_io"))
+def mtp_energy_window(
+    sched,
+    coeffs,
+    positions,
+    cell,
+    swl,
+    *,
+    it_row,
+    jtypes_t,
+    pair_valid_t,
+    esp,
+    xi_full,
+    sorted_io: bool = False,
+):
+    """Total potential energy only (forward kernel, Precision.HIGHEST DAG):
+    the block-boundary companion of
+    ``mtp_energy_forces_window(compute_energy=False)``. ~half a force
+    evaluation; runs once per neighbor block, not per step."""
+    from mtp_tpu.ops.pallas_moments import site_energies_mega
+    from mtp_tpu.ops.window_disp import window_disp
+
+    n = positions.shape[0]
+    n_pad = swl.idx.shape[0]
+    dtype = positions.dtype
+    pos_s = positions if sorted_io else _gather_rows3(positions, swl.order)
+    if n_pad != n:
+        pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
+    dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)
+    d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2
+    maskf = jnp.where(
+        (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
+    ).astype(dtype)
+    site_e = site_energies_mega(
+        sched, dispT, maskf, it_row, jtypes_t,
+        coeffs.radial_coeffs.astype(dtype), xi_full, esp,
+    )
+    return jnp.sum(site_e)
 
 
 def window_constants(sched, coeffs, types, swl, dtype, center_mask=None):

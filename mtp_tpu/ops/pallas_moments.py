@@ -352,17 +352,31 @@ def _moments_tile(sched_tables, dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref):
     return rows
 
 
-def _dag_tile(mat_refs, M_pad, rows, tn, dtype):
+def _dag_tile(mat_refs, M_pad, rows, tn, dtype, precision=None):
     """DAG forward on one tile via one-hot matmuls (matrices are inputs).
 
-    Returns (moments (M_pad, TN), per-wave (p0, p1) residuals)."""
+    Returns (moments (M_pad, TN), per-wave (p0, p1) residuals).
+
+    `precision`: the ENERGY path passes Precision.HIGHEST — at the default
+    precision Mosaic's MXU lowering rounds the f32 operands, leaving a
+    systematic ~3e-6 eV/atom bias vs the f32 reference (caught by
+    tools/tpu_smoke.py; exactly zero in interpret mode). The force backward
+    keeps the default: its dot-precision error measured below 3e-7 eV/A
+    while HIGHEST would multiply the dominant kernel's MXU passes."""
     zero = jnp.zeros((tn,), dtype)
     m = jnp.stack(rows + [zero] * (M_pad - len(rows)), axis=0)
     resid = []
     for w0_ref, a1_ref, s3_ref in mat_refs:
-        p0 = jnp.dot(w0_ref[:], m, preferred_element_type=m.dtype)
-        p1 = jnp.dot(a1_ref[:], m, preferred_element_type=m.dtype)
-        m = m + jnp.dot(s3_ref[:], p0 * p1, preferred_element_type=m.dtype)
+        p0 = jnp.dot(
+            w0_ref[:], m, preferred_element_type=m.dtype, precision=precision
+        )
+        p1 = jnp.dot(
+            a1_ref[:], m, preferred_element_type=m.dtype, precision=precision
+        )
+        m = m + jnp.dot(
+            s3_ref[:], p0 * p1, preferred_element_type=m.dtype,
+            precision=precision,
+        )
         resid.append((p0, p1))
     return m, resid
 
@@ -385,8 +399,19 @@ def _mega_fwd_kernel(
     mat_refs = [tuple(refs[3 * k : 3 * k + 3]) for k in range(n_waves)]
     rows = _moments_tile(sched_tables, dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref)
     tn = rows[0].shape[0]
-    m, _ = _dag_tile(mat_refs, M_pad, rows, tn, rows[0].dtype)
-    e = jnp.dot(xi_ref[:], m, preferred_element_type=m.dtype)  # (1, TN)
+    # HIGHEST through the whole energy chain: at default precision Mosaic's
+    # MXU lowering rounds the f32 operands — the readout matvec alone was a
+    # -1.5e-3 eV/atom constant bias, the DAG dots another ~3e-6 (exactly
+    # zero in interpret mode; caught by tools/tpu_smoke.py). With HIGHEST
+    # the fp32 TPU path meets the <1e-6 eV/atom gate at 32k (PARITY.md).
+    m, _ = _dag_tile(
+        mat_refs, M_pad, rows, tn, rows[0].dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    e = jnp.dot(
+        xi_ref[:], m, preferred_element_type=m.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, TN)
     out_ref[:] = e + esp_ref[:]
 
 
@@ -530,6 +555,20 @@ def _mega_bwd_vjp(sched, res, de):
 
 
 site_energies_mega.defvjp(_mega_fwd_vjp, _mega_bwd_vjp)
+
+
+def pair_forces_mega(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full):
+    """pair_tT (3, J, N) = d(sum site_e)/d(dispT), WITHOUT the forward energy
+    kernel: the backward reconstructs the per-pair stage and the DAG
+    residuals from xi itself, so forces never need site energies. MD steps
+    use this (the reference's eflag economics, pair_mtp.cpp:72-90: energy is
+    an on-demand observable, not a per-step cost) — the forward kernel runs
+    its DAG at Precision.HIGHEST for the <1e-6 eV/atom energy gate, which
+    costs ~3x its MXU passes and belongs on block boundaries, not in the
+    step scan."""
+    res = (dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full)
+    ones = jnp.ones((dispT.shape[2],), dispT.dtype)
+    return _mega_bwd_vjp(sched, res, ones)[0]
 
 
 # ----------------------------------------------------------------------
