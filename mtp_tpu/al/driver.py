@@ -55,8 +55,13 @@ class ExtrapolationMonitor:
     output_path: Optional[str] = None
     max_neighbors: int = 64
 
-    max_grade: float = 0.0
-    nbh_grades: Optional[np.ndarray] = None
+    # device-side observables: materialized lazily on access (the LAMMPS
+    # contract is stale-between-evals anyway, and a synchronous device->host
+    # read costs ~50 ms through the axon tunnel — two per eval dominated the
+    # 32k grade-step cost). MLIP-3 style syncs eagerly (thresholds need the
+    # value).
+    _max_grade_dev: object = 0.0
+    _nbh_grades_dev: object = None
     _writer: Optional[CfgWriter] = None
 
     def __post_init__(self):
@@ -71,6 +76,28 @@ class ExtrapolationMonitor:
     @property
     def mlip3_style(self) -> bool:
         return self.select_threshold is not None
+
+    @property
+    def max_grade(self) -> float:
+        if not isinstance(self._max_grade_dev, float):
+            self._max_grade_dev = float(self._max_grade_dev)
+        return self._max_grade_dev
+
+    @max_grade.setter
+    def max_grade(self, v):
+        self._max_grade_dev = v
+
+    @property
+    def nbh_grades(self) -> Optional[np.ndarray]:
+        if self._nbh_grades_dev is not None and not isinstance(
+            self._nbh_grades_dev, np.ndarray
+        ):
+            self._nbh_grades_dev = np.asarray(self._nbh_grades_dev)
+        return self._nbh_grades_dev
+
+    @nbh_grades.setter
+    def nbh_grades(self, v):
+        self._nbh_grades_dev = v
 
     def evaluate(self, state: MDState, *, refresh_forces: bool = False, nl=None):
         """Compute grades for the current configuration; apply thresholds.
@@ -140,17 +167,19 @@ class ExtrapolationMonitor:
             )
             b = out["b"]
         if model.configuration_mode:
-            g = float(cfg_grade(b, model.inverse_active_set, n))
+            g = cfg_grade(b, model.inverse_active_set, n)
             self.nbh_grades = None
         else:
             grades = nbh_grades(b, model.inverse_active_set)
             if sorted_space:
                 grades = grades[nl.inv_order]
-            self.nbh_grades = np.asarray(grades)
-            g = float(jnp.max(grades))
-        self.max_grade = g
+            self.nbh_grades = grades  # device array; materialized on access
+            g = jnp.max(grades)
+        self.max_grade = g  # device scalar; float()ed lazily on access
 
         if self.mlip3_style:
+            # thresholds need the value NOW — this is the one host sync
+            g = self.max_grade
             self._apply_thresholds(state)
         if refresh_forces:
             forces = out["forces"]
@@ -323,11 +352,14 @@ def run_with_extrapolation(
                 state, k, aux=aux, return_nl=True, refresh=False,
                 **run_kwargs,
             )
-            if bool(flags.overflow):
+            # ONE device->host transfer for both flags: each bool() is a
+            # separate ~50 ms sync through the axon tunnel
+            ovf, stale = jax.device_get((flags.overflow, flags.stale))
+            if bool(ovf):
                 grown = int(sim.max_neighbors * 1.5) + 8
                 sim.max_neighbors = -(-grown // 8) * 8
                 continue
-            if bool(flags.stale):
+            if bool(stale):
                 if sim.steps_per_rebuild <= 1:
                     raise RuntimeError(
                         "Verlet staleness at steps_per_rebuild=1 during AL "
