@@ -141,20 +141,17 @@ class ExtrapolationMonitor:
         n = state.n_atoms
         sorted_space = hasattr(nl, "order")  # SortedNeighborList
         if sorted_space:
-            from mtp_tpu.models.mtp import _gather_rows3, _gather_scalar
+            # ONE dispatched program: constants + fused candidates kernel +
+            # grade matmul + max (the ComputeAlphaBasicRad economics)
+            from mtp_tpu.al.grades import grade_eval_window
 
-            n_pad = nl.idx.shape[0]
-            pos_s = _gather_rows3(state.positions, nl.order)
-            types_s = _gather_scalar(state.types, nl.order)
-            if n_pad != n:
-                pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
-                types_s = jnp.pad(types_s, (0, n_pad - n))
-            row_valid = jnp.arange(n_pad) < n
-            out = candidates_and_forces(
-                model.schedule, model.coeffs, pos_s, types_s, nl.idx,
-                state.cell, nl.mirror, row_valid=row_valid,
+            out = grade_eval_window(
+                model.schedule, model.coeffs, state.positions, state.types,
+                state.cell, nl, model.inverse_active_set,
+                config_mode=model.configuration_mode,
             )
-            b = out["b"]
+            self.nbh_grades = out["grades"]
+            g = out["max_grade"]
         else:
             out = candidates_and_forces(
                 model.schedule,
@@ -166,15 +163,13 @@ class ExtrapolationMonitor:
                 nl.mirror,
             )
             b = out["b"]
-        if model.configuration_mode:
-            g = cfg_grade(b, model.inverse_active_set, n)
-            self.nbh_grades = None
-        else:
-            grades = nbh_grades(b, model.inverse_active_set)
-            if sorted_space:
-                grades = grades[nl.inv_order]
-            self.nbh_grades = grades  # device array; materialized on access
-            g = jnp.max(grades)
+            if model.configuration_mode:
+                g = cfg_grade(b, model.inverse_active_set, n)
+                self.nbh_grades = None
+            else:
+                grades = nbh_grades(b, model.inverse_active_set)
+                self.nbh_grades = grades  # device; materialized on access
+                g = jnp.max(grades)
         self.max_grade = g  # device scalar; float()ed lazily on access
 
         if self.mlip3_style:
@@ -182,14 +177,10 @@ class ExtrapolationMonitor:
             g = self.max_grade
             self._apply_thresholds(state)
         if refresh_forces:
-            forces = out["forces"]
-            if sorted_space:
-                from mtp_tpu.models.mtp import _gather_rows3
-
-                forces = _gather_rows3(forces, nl.inv_order)
+            # candidates_and_forces_window already returns user-order forces
             new_state = dataclasses.replace(
                 state,
-                forces=forces,
+                forces=out["forces"],
                 potential_energy=out["energy"],
             )
             return g, new_state

@@ -326,6 +326,30 @@ def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
 # ----------------------------------------------------------------------
 
 
+def _window_forces_from_pairs(pair_tT, swl):
+    """Sorted-space forces (N_pad, 3) from per-pair forces (3, J, N_pad):
+    the Newton give-back via the octant-aligned kernel when the list carries
+    its metadata, else the flat mirror gather."""
+    if swl.gb is not None:
+        # in-kernel Newton give-back: no (N*J)-row mirror gather, no
+        # moveaxis relayouts (ops/window_giveback.py). pair_tT's masked
+        # slots are zero, so plain slot-sums need no extra mask.
+        from mtp_tpu.ops.window_giveback import window_giveback
+
+        f_own = jnp.sum(pair_tT, axis=1)  # (3, N_pad)
+        f_give = window_giveback(pair_tT, swl.wl, swl.gb)
+        return (f_own - f_give).T
+    pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)
+    flat = pair_t.reshape(-1, 3)
+    # no mask multiply: masked slots of pair_T are already zero, pads
+    # mirror among themselves, and the distance mask is bitwise
+    # symmetric (antisymmetric min-image disp). Masking by THIS row's
+    # maskf would also break the sharded path, where ghost rows must
+    # accumulate t_ji from own-centered pairs (their own mask is off).
+    t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
+    return jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -404,25 +428,7 @@ def mtp_energy_forces_window(
         sched, dispT, maskf, it_row, jtypes_t, rc, xi_full
     )
 
-    if swl.gb is not None:
-        # in-kernel Newton give-back: no (N*J)-row mirror gather, no
-        # moveaxis relayouts (ops/window_giveback.py). pair_tT's masked
-        # slots are zero, so plain slot-sums need no extra mask.
-        from mtp_tpu.ops.window_giveback import window_giveback
-
-        f_own = jnp.sum(pair_tT, axis=1)  # (3, N_pad)
-        f_give = window_giveback(pair_tT, swl.wl, swl.gb)
-        forces_s = (f_own - f_give).T
-    else:
-        pair_t = jnp.moveaxis(pair_tT, (0, 1, 2), (2, 1, 0))  # (N_pad, J, 3)
-        flat = pair_t.reshape(-1, 3)
-        # no mask multiply: masked slots of pair_T are already zero, pads
-        # mirror among themselves, and the distance mask is bitwise
-        # symmetric (antisymmetric min-image disp). Masking by THIS row's
-        # maskf would also break the sharded path, where ghost rows must
-        # accumulate t_ji from own-centered pairs (their own mask is off).
-        t_ji = _gather_rows3(flat, swl.mirror).reshape(pair_t.shape)
-        forces_s = jnp.sum(pair_t - t_ji, axis=1)  # (N_pad, 3)
+    forces_s = _window_forces_from_pairs(pair_tT, swl)
     if sorted_io:
         forces = forces_s[:n]
         out = dict(

@@ -557,6 +557,179 @@ def _mega_bwd_vjp(sched, res, de):
 site_energies_mega.defvjp(_mega_fwd_vjp, _mega_bwd_vjp)
 
 
+def _mega_cand_kernel(
+    dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, xi_ref, esp_ref, bm_sel_ref,
+    *refs, sched_tables, n_waves, M_pad
+):
+    """Fused grade-step kernel: ONE per-pair stage + DAG yields site
+    energies, the scalar-basis members, the radial-jacobian candidate block
+    AND the pair forces (the TPU analog of the reference's
+    ComputeAlphaBasicRad grade-step fusion,
+    pair_mtp_extrapolation_kokkos.cpp:780-907). The XLA candidate path
+    materializes the (N, J, B) U/cheb tables to HBM (~74 ms at 32k x 64 on
+    v5e); here they never leave VMEM.
+
+    Outputs: site_e (1, TN), basis_members (m_scal_pad, TN),
+    rad (S*MU*RB padded, TN) in (s2, mu, r) row-major order, pair_t
+    (3, J, TN). DAG runs at HIGHEST throughout (grade steps are off the
+    hot loop; site energies feed the MD state refresh)."""
+    site_ref, bm_ref, rad_ref, pair_ref = refs[-4:]
+    mat_refs = [tuple(refs[3 * k : 3 * k + 3]) for k in range(n_waves)]
+    basic, S, MU, RB, lo, hi, scaling, max_rank, B_pad = sched_tables
+    x, y, z, w, d, inv_d = _geometry(dispT_ref, mask_ref)
+    ux, uy, uz = x * inv_d, y * inv_d, z * inv_d
+    cheb, cheb_d = _cheb_vals_ders(d, lo, hi, scaling, RB)
+    it_row = it_ref[0][None, :]
+    jt = jt_ref[:]
+    f = _pair_radials(cheb, coeff_ref, it_row, jt, S, MU)
+    fp = _pair_radials(cheb_d, coeff_ref, it_row, jt, S, MU)
+    fw = [fm * w for fm in f]
+    PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
+    U, Um = _u_tables(basic, PX, PY, PZ, with_derivs=True)
+
+    rows = [jnp.sum(fw[mu] * U[(ax, ay, az)], axis=0) for mu, ax, ay, az in basic]
+    tn = rows[0].shape[0]
+    HI = jax.lax.Precision.HIGHEST
+    m, resid = _dag_tile(mat_refs, M_pad, rows, tn, rows[0].dtype, precision=HI)
+
+    # site energies + scalar-basis members from the HIGHEST-precision m
+    site_ref[:] = (
+        jnp.dot(xi_ref[:], m, preferred_element_type=m.dtype, precision=HI)
+        + esp_ref[:]
+    )
+    bm_ref[:] = jnp.dot(
+        bm_sel_ref[:], m, preferred_element_type=m.dtype, precision=HI
+    )
+
+    # DAG reverse with de = 1 (gamma = dE/d(basic moments))
+    dm = xi_ref[:].T * jnp.ones((1, tn), m.dtype)
+    for (w0_ref, a1_ref, s3_ref), (p0, p1) in zip(
+        reversed(mat_refs), reversed(resid)
+    ):
+        dc = jnp.dot(s3_ref[:].T, dm, preferred_element_type=dm.dtype, precision=HI)
+        dm = dm + jnp.dot(
+            w0_ref[:].T, dc * p1, preferred_element_type=dm.dtype, precision=HI
+        )
+        dm = dm + jnp.dot(
+            a1_ref[:].T, dc * p0, preferred_element_type=dm.dtype, precision=HI
+        )
+
+    # pair forces (same math as _mega_bwd_kernel)
+    W2 = [fm * inv_d for fm in f]
+    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
+    W1 = {}
+    for mu in range(MU):
+        for r in ranks:
+            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
+    P = jnp.zeros_like(x)
+    Dx = jnp.zeros_like(x)
+    Dy = jnp.zeros_like(x)
+    Dz = jnp.zeros_like(x)
+    # per-mu gamma-weighted unit-power sums: the radial jacobian's pair
+    # factor gU[j, mu] = sum_{k: mu_k = mu} gamma_k U_k, accumulated in the
+    # same k loop that assembles the forces
+    Gmu = [None] * MU
+    for k, (mu, ax, ay, az) in enumerate(basic):
+        g = dm[k][None, :]
+        t = (ax, ay, az)
+        gU = g * U[t]
+        Gmu[mu] = gU if Gmu[mu] is None else Gmu[mu] + gU
+        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
+        if ax or ay or az:
+            gw2 = g * W2[mu]
+            if ax > 0:
+                Dx = Dx + gw2 * Um[0][t]
+            if ay > 0:
+                Dy = Dy + gw2 * Um[1][t]
+            if az > 0:
+                Dz = Dz + gw2 * Um[2][t]
+    pair_ref[0] = (P * ux + Dx) * w
+    pair_ref[1] = (P * uy + Dy) * w
+    pair_ref[2] = (P * uz + Dz) * w
+
+    # radial jacobian rows: rad[s2, mu, r] = sum_j [jt=s2] w cheb_r Gmu
+    rad_rows = []
+    for s2 in range(S):
+        sel = w if S == 1 else jnp.where(jt == s2, 1.0, 0.0).astype(x.dtype) * w
+        for mu in range(MU):
+            gs = Gmu[mu] * sel if Gmu[mu] is not None else None
+            for r in range(RB):
+                rad_rows.append(
+                    jnp.zeros((tn,), x.dtype)
+                    if gs is None
+                    else jnp.sum(cheb[r] * gs, axis=0)
+                )
+    n_rad = rad_ref.shape[0]
+    for _ in range(n_rad - len(rad_rows)):
+        rad_rows.append(jnp.zeros((tn,), x.dtype))
+    rad_ref[:] = jnp.stack(rad_rows, axis=0)
+
+
+def candidates_mega(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp):
+    """Fused grade-step evaluation through the megakernel (window path).
+
+    Returns dict(site_e (N,), basis_members (N, m_scal), rad (N, S*MU*RB),
+    pair_tT (3, J, N)) — everything :func:`mtp_tpu.al.grades.
+    candidates_and_forces` assembles, minus the force give-back and the
+    (itype) block placement, which stay in XLA."""
+    tables, B_pad, M, M_pad, mats = _prep_mega(sched)
+    basic, S, MU, RB = tables[0], tables[1], tables[2], tables[3]
+    J, N = mask.shape
+    TN = _tile_n(J)
+    dtype = dispT.dtype
+    mat_args = _pack_mats(mats, M, M_pad, dtype)
+
+    mapping = np.asarray(sched.mapping)
+    m_scal = len(mapping)
+    ms_pad = -(-m_scal // 8) * 8
+    bm_sel = np.zeros((ms_pad, M_pad), np.float32)
+    bm_sel[np.arange(m_scal), mapping] = 1.0
+    bm_sel = jnp.asarray(bm_sel, dtype)
+
+    n_rad = S * MU * RB
+    nr_pad = -(-n_rad // 8) * 8
+
+    site, bm, rad, pair_t = pl.pallas_call(
+        functools.partial(
+            _mega_cand_kernel,
+            sched_tables=tables,
+            n_waves=len(mats),
+            M_pad=M_pad,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, N), dtype),
+            jax.ShapeDtypeStruct((ms_pad, N), dtype),
+            jax.ShapeDtypeStruct((nr_pad, N), dtype),
+            jax.ShapeDtypeStruct((3, J, N), dtype),
+        ),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((3, J, TN), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mat_args],
+        out_specs=(
+            pl.BlockSpec((1, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ms_pad, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr_pad, TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, TN), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full, esp, bm_sel, *mat_args)
+    return dict(
+        site_e=site[0],
+        basis_members=bm[:m_scal].T,
+        rad=rad[:n_rad].T,
+        pair_tT=pair_t,
+    )
+
+
 def pair_forces_mega(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full):
     """pair_tT (3, J, N) = d(sum site_e)/d(dispT), WITHOUT the forward energy
     kernel: the backward reconstructs the per-pair stage and the DAG

@@ -45,6 +45,7 @@ from mtp_tpu.md import integrators as itg
 from mtp_tpu.models.mtp import (
     MTPModel,
     mtp_energy_forces_window,
+    mtp_energy_window,
     readout_vector,
     window_constants,
 )
@@ -137,9 +138,12 @@ class ShardedSimulation:
         self.bin_cap = max(1, int(np.ceil(2.2 * self.nd * C / ncells))) + 12
         self.w_cut = self.model.cutoff + self.skin
         if self.giveback == "auto":
-            # in-kernel give-back wins once XLA row-gather cost over the
-            # (J*N_pad)-row table dominates (crossover ~100k rows/shard)
-            self.gb_on = self.NE >= 100_000
+            # same policy as the single-chip Simulation: the in-kernel
+            # give-back beats the flat mirror at every measured size once
+            # the octant classes have full capacity (J/8 >= 8); J=56's
+            # capacity-7 classes spill ~5x more and can overflow the
+            # per-row spill budget at 300 K
+            self.gb_on = self.max_neighbors >= 64
         else:
             self.gb_on = bool(self.giveback)
         self.perm_fwd = [(i, (i + 1) % self.nd) for i in range(self.nd)]
@@ -300,11 +304,17 @@ class ShardedSimulation:
                     x, sel_r, val_r, sel_l, val_l, fill, H=H, **self._comm
                 )
 
-            def force_eval(pos, cell):
+            def force_eval(pos, cell, compute_energy=False):
+                # compute_energy=False in the step scan: energy is an
+                # observable, refreshed once per block below (the eflag
+                # economics — the forward kernel's HIGHEST-precision DAG
+                # stays off the hot loop). pe then psums to 0 and the
+                # block-end refresh overwrites it.
                 ext_pos = exch(pos, jnp.asarray(0.0, dtype))
                 out = mtp_energy_forces_window(
                     sched, coeffs, ext_pos, cell, swl,
-                    compute_virial=cv, **consts,
+                    compute_virial=cv, compute_energy=compute_energy,
+                    **consts,
                 )
                 f_ext = out["forces"]
                 fo = f_ext[:C]
@@ -442,6 +452,12 @@ class ShardedSimulation:
             )
             (pos, vel, f, cell, pe, vir, thermo, stale), _ = jax.lax.scan(
                 one, carry0, None, length=n_steps
+            )
+            # block-boundary energy refresh (forward kernel, HIGHEST DAG)
+            ext_pos = exch(pos, jnp.asarray(0.0, dtype))
+            pe = jax.lax.psum(
+                mtp_energy_window(sched, coeffs, ext_pos, cell, swl, **consts),
+                axis,
             )
             return pos, vel, f, cell, pe, vir, thermo, jax.lax.pmax(stale, axis)
 

@@ -316,3 +316,49 @@ def test_candidates_and_forces_fused_parity(mtp_level8, rng):
         np.asarray(fused["forces"]), np.asarray(f_ref["forces"]), atol=1e-12
     )
     assert float(fused["energy"]) == pytest.approx(float(f_ref["energy"]), abs=1e-10)
+
+
+@pytest.mark.parametrize("species,align", [(1, True), (2, False)])
+def test_candidates_window_kernel_parity(rng, species, align):
+    """The fused candidates megakernel (site_e + basis members + radial
+    jacobian + pair forces in ONE Pallas kernel, the ComputeAlphaBasicRad
+    analog) must match the XLA candidate path on the same sorted list —
+    both the give-back (align_slots) and mirror force assemblies."""
+    from mtp_tpu.al.grades import candidates_and_forces, candidates_and_forces_window
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.models.mtp import _gather_rows3, _gather_scalar, window_constants
+    from mtp_tpu.ops.neighbors import build_sorted_neighbor_list, grid_shape
+
+    m = make_mtp(12, species_count=species, seed=0)
+    model = MTPModel.from_data(m, dtype=jnp.float32)
+    kw = {"type_pattern": (0, 1)} if species == 2 else {}
+    pos, types, cell = make_lattice("fcc", 4.0, (6, 6, 6), **kw)
+    n = len(pos)
+    p = jnp.asarray(pos + rng.normal(0, 0.06, pos.shape), jnp.float32)
+    cj = jnp.asarray(cell, jnp.float32)
+    tj = jnp.asarray(types, jnp.int32)
+    swl = build_sorted_neighbor_list(
+        p, cj, model.cutoff, max_neighbors=56,
+        grid=grid_shape(cell, model.cutoff), align_slots=align,
+    )
+    consts = window_constants(model.schedule, model.coeffs, tj, swl, jnp.float32)
+    out_w = candidates_and_forces_window(
+        model.schedule, model.coeffs, p, cj, swl, **consts
+    )
+    n_pad = swl.idx.shape[0]
+    pos_s = jnp.pad(_gather_rows3(p, swl.order), ((0, n_pad - n), (0, 0)))
+    types_s = jnp.pad(_gather_scalar(tj, swl.order), (0, n_pad - n))
+    out_x = candidates_and_forces(
+        model.schedule, model.coeffs, pos_s, types_s, swl.idx, cj, swl.mirror,
+        row_valid=jnp.arange(n_pad) < n,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_w["b"]), np.asarray(out_x["b"]), atol=5e-5
+    )
+    f_x_user = _gather_rows3(out_x["forces"], swl.inv_order)
+    np.testing.assert_allclose(
+        np.asarray(out_w["forces"]), np.asarray(f_x_user), atol=5e-5
+    )
+    assert float(out_w["energy"]) == pytest.approx(
+        float(out_x["energy"]), abs=1e-4
+    )
