@@ -106,7 +106,33 @@ class Simulation:
         # 8-aligned slot groups. Gate on the width actually being BUILT
         # (callers may pass a max_neighbors different from self.max_neighbors)
         j = self.max_neighbors if max_neighbors is None else max_neighbors
-        return use and min(grid) >= 3 and j % 8 == 0
+        ok = min(grid) >= 3 and j % 8 == 0
+        if use and not ok and not getattr(self, "_warned_window_off", False):
+            # never silent: the window kernels are the 2x-4x fast path
+            import warnings
+
+            why = (
+                f"bin grid {grid} has a dim < 3" if min(grid) < 3
+                else f"max_neighbors={j} is not a multiple of 8"
+            )
+            warnings.warn(
+                f"banded-window fast path DISENGAGED ({why}); falling back "
+                "to the XLA-gather force path (~2-4x slower). Use a larger "
+                "box or an 8-aligned max_neighbors.",
+                stacklevel=3,
+            )
+            self._warned_window_off = True
+        return use and ok
+
+    def engaged_paths(self, grid: tuple, n: int, max_neighbors=None) -> dict:
+        """Which fast paths a run with this (grid, n, J) will use — for
+        logging/debugging the auto policies (they are heuristic; see
+        _use_window/_use_giveback for the measured reasoning)."""
+        return dict(
+            backend=self._resolved_backend(),
+            window=self._use_window(grid, max_neighbors),
+            giveback=self._use_giveback(grid, n, max_neighbors),
+        )
 
     def _use_giveback(
         self, grid: tuple, n: int, max_neighbors: int | None = None
