@@ -117,16 +117,20 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl):
     # ---- globally compacted spill lists (real but misaligned directions).
     # ~0.49/atom at J=64 (class capacity 8; perfect lattices included once
     # zero-component ties are hash-broken), ~2.3/atom at J=56. The GLOBAL
-    # count concentrates tightly, so a 1x/3x-per-atom cap has huge margin —
-    # unlike per-atom slots, whose max fluctuates to ~9 (ROW_SP below has
-    # margin over that). The consumer pays one K-element gather + one K-row
-    # scatter-add (~0.5 ms at 32k).
+    # count concentrates tightly, so a 0.75x/3x-per-atom cap has ~1.5x
+    # margin — unlike per-atom slots, whose max fluctuates to ~9 (ROW_SP
+    # below has margin over that). The consumer pays one K-element gather +
+    # one K-row scatter-add; the gather cost is linear in the CAPACITY
+    # (59 ms at 1M with K=n_pad, scratch/prof_spills.py), so the cap is as
+    # tight as the flag safety allows — `covered`=False on overflow, and
+    # the run() overflow response (grow max_neighbors) also grows the
+    # octant class capacity, which REDUCES spills.
     #
     # Extraction is two-level (per-row J-wide sort, then one flat sort of
     # the N_pad*ROW_SP survivors) — jnp.flatnonzero over the flat 64M mask
     # was a large fraction of the 962 ms giveback_metadata cost at 1M.
     spill = real & ~elig  # (N_pad, J)
-    k_spill = n_pad if j >= 64 else 3 * n_pad
+    k_spill = -(-(3 * n_pad) // 4) if j >= 64 else 3 * n_pad
     row_sp = 16
     iota_j = jnp.arange(j, dtype=jnp.int32)[None, :]
     rows_sp = jnp.sort(
