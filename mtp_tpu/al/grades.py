@@ -197,21 +197,19 @@ def candidates_and_forces_window(
     space (padding rows zero — map grades back with swl.inv_order),
     site_energies (N,) user order, energy, forces (N, 3) user order).
     """
-    from mtp_tpu.models.mtp import _gather_rows3, _window_forces_from_pairs
+    from mtp_tpu.models.mtp import (
+        _gather_rows3,
+        _window_forces_from_pairs,
+        _window_geometry,
+    )
     from mtp_tpu.ops.pallas_moments import candidates_mega
-    from mtp_tpu.ops.window_disp import window_disp
 
     n = positions.shape[0]
     n_pad = swl.idx.shape[0]
     dtype = positions.dtype
-    pos_s = _gather_rows3(positions, swl.order)
-    if n_pad != n:
-        pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
-    dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)
-    d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2
-    maskf = jnp.where(
-        (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
-    ).astype(dtype)
+    _, dispT, maskf = _window_geometry(
+        sched, positions, cell, swl, pair_valid_t, sorted_io=False
+    )
 
     out = candidates_mega(
         sched, dispT, maskf, it_row, jtypes_t,

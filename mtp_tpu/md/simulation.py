@@ -97,7 +97,9 @@ class Simulation:
             return "pallas" if jax.default_backend() == "tpu" else "xla"
         return self.backend
 
-    def _use_window(self, grid: tuple, max_neighbors: int | None = None) -> bool:
+    def _use_window(
+        self, grid: tuple, max_neighbors: int | None = None, warn: bool = False
+    ) -> bool:
         if self.window == "auto":
             use = self._resolved_backend() == "pallas"
         else:
@@ -107,35 +109,41 @@ class Simulation:
         # (callers may pass a max_neighbors different from self.max_neighbors)
         j = self.max_neighbors if max_neighbors is None else max_neighbors
         ok = min(grid) >= 3 and j % 8 == 0
-        if use and not ok and not getattr(self, "_warned_window_off", False):
-            # never silent: the window kernels are the 2x-4x fast path
-            import warnings
-
+        if warn and use and not ok:
+            # never silent: the window kernels are the 2x-4x fast path.
+            # `warn` is set only by the run entry points (rebuild/block),
+            # never by queries like engaged_paths; warn once PER REASON so a
+            # probe cannot mask a later genuine disengagement.
             why = (
                 f"bin grid {grid} has a dim < 3" if min(grid) < 3
                 else f"max_neighbors={j} is not a multiple of 8"
             )
-            warnings.warn(
-                f"banded-window fast path DISENGAGED ({why}); falling back "
-                "to the XLA-gather force path (~2-4x slower). Use a larger "
-                "box or an 8-aligned max_neighbors.",
-                stacklevel=3,
-            )
-            self._warned_window_off = True
+            if why not in getattr(self, "_warned_window_off", set()):
+                import warnings
+
+                warnings.warn(
+                    f"banded-window fast path DISENGAGED ({why}); falling "
+                    "back to the XLA-gather force path (~2-4x slower). Use "
+                    "a larger box or an 8-aligned max_neighbors.",
+                    stacklevel=3,
+                )
+                if not hasattr(self, "_warned_window_off"):
+                    self._warned_window_off = set()
+                self._warned_window_off.add(why)
         return use and ok
 
-    def engaged_paths(self, grid: tuple, n: int, max_neighbors=None) -> dict:
-        """Which fast paths a run with this (grid, n, J) will use — for
+    def engaged_paths(self, grid: tuple, max_neighbors=None) -> dict:
+        """Which fast paths a run with this (grid, J) will use — for
         logging/debugging the auto policies (they are heuristic; see
         _use_window/_use_giveback for the measured reasoning)."""
         return dict(
             backend=self._resolved_backend(),
             window=self._use_window(grid, max_neighbors),
-            giveback=self._use_giveback(grid, n, max_neighbors),
+            giveback=self._use_giveback(grid, max_neighbors),
         )
 
     def _use_giveback(
-        self, grid: tuple, n: int, max_neighbors: int | None = None
+        self, grid: tuple, max_neighbors: int | None = None
     ) -> bool:
         j = self.max_neighbors if max_neighbors is None else max_neighbors
         if self.giveback == "auto":
@@ -247,16 +255,14 @@ class Simulation:
     def rebuild(self, state: MDState, *, grid: tuple, max_neighbors: int):
         """Neighbor rebuild as its own dispatch (separating it from the step
         scan keeps XLA from pessimizing the scan body)."""
-        if self._use_window(grid, max_neighbors):
+        if self._use_window(grid, max_neighbors, warn=True):
             return build_sorted_neighbor_list(
                 state.positions,
                 state.cell,
                 self.model.cutoff + self.skin,
                 max_neighbors=max_neighbors,
                 grid=grid,
-                align_slots=self._use_giveback(
-                    grid, state.positions.shape[0], max_neighbors
-                ),
+                align_slots=self._use_giveback(grid, max_neighbors),
             )
         return build_neighbor_list(
             state.positions,
@@ -300,13 +306,11 @@ class Simulation:
         refresh: bool = False,
     ):
         cutoff = self.model.cutoff + self.skin
-        if self._use_window(grid, max_neighbors):
+        if self._use_window(grid, max_neighbors, warn=True):
             nl = build_sorted_neighbor_list(
                 state.positions, state.cell, cutoff,
                 max_neighbors=max_neighbors, grid=grid,
-                align_slots=self._use_giveback(
-                    grid, state.positions.shape[0], max_neighbors
-                ),
+                align_slots=self._use_giveback(grid, max_neighbors),
             )
         else:
             nl = build_neighbor_list(

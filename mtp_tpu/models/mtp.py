@@ -326,6 +326,29 @@ def mtp_energy(sched, coeffs, positions, types, nbr_idx, cell=None):
 # ----------------------------------------------------------------------
 
 
+def _window_geometry(sched, positions, cell, swl, pair_valid_t, sorted_io):
+    """Shared preamble of every window-path evaluator: sorted/padded
+    positions -> in-kernel displacement gather -> the distance+validity
+    mask. ONE implementation so the mask convention cannot drift between
+    the force, energy, and grade paths (they must stay bitwise consistent
+    for the eflag split and AL force refresh to be exact).
+
+    Returns (pos_s (N_pad, 3), dispT (3, J, N_pad), maskf (J, N_pad))."""
+    from mtp_tpu.ops.window_disp import window_disp
+
+    n = positions.shape[0]
+    n_pad = swl.idx.shape[0]
+    pos_s = positions if sorted_io else _gather_rows3(positions, swl.order)
+    if n_pad != n:
+        pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
+    dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)
+    d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2
+    maskf = jnp.where(
+        (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
+    ).astype(positions.dtype)
+    return pos_s, dispT, maskf
+
+
 def _window_forces_from_pairs(pair_tT, swl):
     """Sorted-space forces (N_pad, 3) from per-pair forces (3, J, N_pad):
     the Newton give-back via the octant-aligned kernel when the list carries
@@ -401,22 +424,14 @@ def mtp_energy_forces_window(
     stay exact. energy/site_energies are returned as zeros.
     """
     from mtp_tpu.ops.pallas_moments import pair_forces_mega, site_energies_mega
-    from mtp_tpu.ops.window_disp import window_disp
 
     n = positions.shape[0]
     n_pad = swl.idx.shape[0]
     dtype = positions.dtype
 
-    pos_s = positions if sorted_io else _gather_rows3(positions, swl.order)
-    if n_pad != n:
-        pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
-    dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)  # (3, J, N_pad)
-
-    d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2  # (J, N_pad)
-    maskf = jnp.where(
-        (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
-    ).astype(dtype)
-
+    _, dispT, maskf = _window_geometry(
+        sched, positions, cell, swl, pair_valid_t, sorted_io
+    )
     rc = coeffs.radial_coeffs.astype(dtype)
     if compute_energy:
         site_e = site_energies_mega(
@@ -499,19 +514,11 @@ def mtp_energy_window(
     ``mtp_energy_forces_window(compute_energy=False)``. ~half a force
     evaluation; runs once per neighbor block, not per step."""
     from mtp_tpu.ops.pallas_moments import site_energies_mega
-    from mtp_tpu.ops.window_disp import window_disp
 
-    n = positions.shape[0]
-    n_pad = swl.idx.shape[0]
     dtype = positions.dtype
-    pos_s = positions if sorted_io else _gather_rows3(positions, swl.order)
-    if n_pad != n:
-        pos_s = jnp.pad(pos_s, ((0, n_pad - n), (0, 0)))
-    dispT = window_disp(pos_s, swl.window_idx, swl.wl, swl.wl_counts, cell)
-    d2 = dispT[0] ** 2 + dispT[1] ** 2 + dispT[2] ** 2
-    maskf = jnp.where(
-        (d2 <= sched.max_dist**2) & pair_valid_t, 1.0, 0.0
-    ).astype(dtype)
+    _, dispT, maskf = _window_geometry(
+        sched, positions, cell, swl, pair_valid_t, sorted_io
+    )
     site_e = site_energies_mega(
         sched, dispT, maskf, it_row, jtypes_t,
         coeffs.radial_coeffs.astype(dtype), xi_full, esp,

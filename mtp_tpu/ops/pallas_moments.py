@@ -38,6 +38,15 @@ def _tile_n(j: int) -> int:
     return 256 if j <= 64 else 128
 
 
+def _tile_n_cand(j: int) -> int:
+    """Candidates-kernel tile: roughly double the live VMEM of the fwd/bwd
+    kernels (4 outputs incl. the (3, J, TN) pair block and the rad block,
+    the Gmu accumulators, and cheb kept alive through the rad loop), so halve
+    the tile. AL overflow retries can grow J well past 64 mid-run; the grade
+    kernel must keep compiling where the force kernels do."""
+    return _tile_n(j) // 2
+
+
 def _cheb_vals(d, lo, hi, scaling, size):
     ksi = (2.0 * d - (lo + hi)) / (hi - lo)
     env = scaling * (d - hi) ** 2
@@ -140,6 +149,50 @@ def _u_tables(basic, PX, PY, PZ, *, with_derivs=False):
     return U, Um
 
 
+def _pair_force_terms(basic, MU, f, fp, inv_d, x, U, Um, get_g, *, want_gmu=False):
+    """Shared per-pair force tail of every backward-style kernel.
+
+    T_a = u_a * sum_k g_k W1_k U_k + sum_k (g_k W2[mu_k]) Um_a[k] with
+    W2[mu] = f_mu/d, W1[mu,rank] = f'_mu - rank f_mu/d. `get_g(k)` supplies
+    gamma row k as a (1, TN) block (gamma_ref for the modular kernel, dm for
+    the fused ones). With `want_gmu`, also accumulates the radial-jacobian
+    pair factor Gmu[mu] = sum_{k: mu_k = mu} g_k U_k (candidates kernel).
+
+    ONE implementation on purpose: the same expression previously lived in
+    three kernels and a drift between the MD force kernels and the AL grade
+    kernel would silently decouple the forces run_with_extrapolation
+    refreshes from the step-scan forces.
+
+    Returns (P, Dx, Dy, Dz, Gmu)."""
+    W2 = [fm * inv_d for fm in f]
+    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
+    W1 = {}
+    for mu in range(MU):
+        for r in ranks:
+            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
+    P = jnp.zeros_like(x)
+    Dx = jnp.zeros_like(x)
+    Dy = jnp.zeros_like(x)
+    Dz = jnp.zeros_like(x)
+    Gmu = [None] * MU if want_gmu else None
+    for k, (mu, ax, ay, az) in enumerate(basic):
+        g = get_g(k)
+        t = (ax, ay, az)
+        if want_gmu:
+            gU = g * U[t]
+            Gmu[mu] = gU if Gmu[mu] is None else Gmu[mu] + gU
+        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
+        if ax or ay or az:
+            gw2 = g * W2[mu]
+            if ax > 0:
+                Dx = Dx + gw2 * Um[0][t]
+            if ay > 0:
+                Dy = Dy + gw2 * Um[1][t]
+            if az > 0:
+                Dz = Dz + gw2 * Um[2][t]
+    return P, Dx, Dy, Dz, Gmu
+
+
 def _fwd_kernel(
     dispT_ref, mask_ref, it_ref, jt_ref, coeff_ref, out_ref, *, sched_tables
 ):
@@ -178,31 +231,10 @@ def _bwd_kernel(
     PX, PY, PZ = _power_tables(ux, uy, uz, max_rank)
     U, Um = _u_tables(basic, PX, PY, PZ, with_derivs=True)
 
-    # hoisted radial factors: W2[mu] = f/d; W1[mu,rank] = f' - rank f/d
-    W2 = [fm * inv_d for fm in f]
-    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
-    W1 = {}
-    for mu in range(MU):
-        for r in ranks:
-            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
-
-    # T_a = u_a * sum_k c1_k U_k  +  sum_k (g_k W2[mu_k]) * Um_a[k]
-    P = jnp.zeros_like(x)
-    Dx = jnp.zeros_like(x)
-    Dy = jnp.zeros_like(x)
-    Dz = jnp.zeros_like(x)
-    for k, (mu, ax, ay, az) in enumerate(basic):
-        g = gamma_ref[k][None, :]  # (1, TN) -> broadcast over J
-        t = (ax, ay, az)
-        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
-        if ax or ay or az:
-            gw2 = g * W2[mu]
-            if ax > 0:
-                Dx = Dx + gw2 * Um[0][t]
-            if ay > 0:
-                Dy = Dy + gw2 * Um[1][t]
-            if az > 0:
-                Dz = Dz + gw2 * Um[2][t]
+    P, Dx, Dy, Dz, _ = _pair_force_terms(
+        basic, MU, f, fp, inv_d, x, U, Um,
+        lambda k: gamma_ref[k][None, :],  # (1, TN) -> broadcast over J
+    )
     out_ref[0] = (P * ux + Dx) * w
     out_ref[1] = (P * uy + Dy) * w
     out_ref[2] = (P * uz + Dz) * w
@@ -446,29 +478,9 @@ def _mega_bwd_kernel(
         dm = dm + jnp.dot(a1_ref[:].T, dc * p0, preferred_element_type=dm.dtype)
 
     # pair forces from gamma = dm[:B] (same math as _bwd_kernel)
-    W2 = [fm * inv_d for fm in f]
-    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
-    W1 = {}
-    for mu in range(MU):
-        for r in ranks:
-            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
-
-    P = jnp.zeros_like(x)
-    Dx = jnp.zeros_like(x)
-    Dy = jnp.zeros_like(x)
-    Dz = jnp.zeros_like(x)
-    for k, (mu, ax, ay, az) in enumerate(basic):
-        g = dm[k][None, :]
-        t = (ax, ay, az)
-        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
-        if ax or ay or az:
-            gw2 = g * W2[mu]
-            if ax > 0:
-                Dx = Dx + gw2 * Um[0][t]
-            if ay > 0:
-                Dy = Dy + gw2 * Um[1][t]
-            if az > 0:
-                Dz = Dz + gw2 * Um[2][t]
+    P, Dx, Dy, Dz, _ = _pair_force_terms(
+        basic, MU, f, fp, inv_d, x, U, Um, lambda k: dm[k][None, :]
+    )
     out_ref[0] = (P * ux + Dx) * w
     out_ref[1] = (P * uy + Dy) * w
     out_ref[2] = (P * uz + Dz) * w
@@ -614,35 +626,12 @@ def _mega_cand_kernel(
             a1_ref[:].T, dc * p0, preferred_element_type=dm.dtype, precision=HI
         )
 
-    # pair forces (same math as _mega_bwd_kernel)
-    W2 = [fm * inv_d for fm in f]
-    ranks = sorted({ax + ay + az for _, ax, ay, az in basic})
-    W1 = {}
-    for mu in range(MU):
-        for r in ranks:
-            W1[(mu, r)] = fp[mu] - float(r) * W2[mu] if r else fp[mu]
-    P = jnp.zeros_like(x)
-    Dx = jnp.zeros_like(x)
-    Dy = jnp.zeros_like(x)
-    Dz = jnp.zeros_like(x)
-    # per-mu gamma-weighted unit-power sums: the radial jacobian's pair
-    # factor gU[j, mu] = sum_{k: mu_k = mu} gamma_k U_k, accumulated in the
-    # same k loop that assembles the forces
-    Gmu = [None] * MU
-    for k, (mu, ax, ay, az) in enumerate(basic):
-        g = dm[k][None, :]
-        t = (ax, ay, az)
-        gU = g * U[t]
-        Gmu[mu] = gU if Gmu[mu] is None else Gmu[mu] + gU
-        P = P + (g * W1[(mu, ax + ay + az)]) * U[t]
-        if ax or ay or az:
-            gw2 = g * W2[mu]
-            if ax > 0:
-                Dx = Dx + gw2 * Um[0][t]
-            if ay > 0:
-                Dy = Dy + gw2 * Um[1][t]
-            if az > 0:
-                Dz = Dz + gw2 * Um[2][t]
+    # pair forces (shared tail) + the radial jacobian's pair factor
+    # Gmu[mu] = sum_{k: mu_k = mu} gamma_k U_k from the same k loop
+    P, Dx, Dy, Dz, Gmu = _pair_force_terms(
+        basic, MU, f, fp, inv_d, x, U, Um, lambda k: dm[k][None, :],
+        want_gmu=True,
+    )
     pair_ref[0] = (P * ux + Dx) * w
     pair_ref[1] = (P * uy + Dy) * w
     pair_ref[2] = (P * uz + Dz) * w
@@ -675,7 +664,7 @@ def candidates_mega(sched, dispT, mask, itypes, jtypes_t, radial_coeffs, xi_full
     tables, B_pad, M, M_pad, mats = _prep_mega(sched)
     basic, S, MU, RB = tables[0], tables[1], tables[2], tables[3]
     J, N = mask.shape
-    TN = _tile_n(J)
+    TN = _tile_n_cand(J)
     dtype = dispT.dtype
     mat_args = _pack_mats(mats, M, M_pad, dtype)
 

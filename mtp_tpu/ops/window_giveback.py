@@ -148,7 +148,9 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl):
     sp_safe = jnp.where(sp_valid, sp_pos, 0)
     sp_dst = jnp.where(sp_valid, sp_safe // j, n_pad).astype(jnp.int32)
     src = rev.reshape(-1)[sp_safe] * n_pad + idx.reshape(-1)[sp_safe]
-    # padding entries point at the appended zero column of the flat table
+    # padding entries carry the OUT-OF-RANGE sentinel j*n_pad: the consumer
+    # (window_giveback) masks on sp_src < j*n_pad and clamps the gather
+    # index — the sentinel must stay >= j*n_pad, it does NOT point at data
     sp_src = jnp.where(sp_valid, src, j * n_pad).astype(jnp.int32)
     spills_ok = (jnp.sum(row_counts) <= k_spill) & rows_ok
 

@@ -111,7 +111,7 @@ def test_giveback_trajectory_matches_xla_path(alloy):
         backend="xla", window=False,
     )
     grid = grid_shape(np.asarray(state.cell), model.cutoff + 0.6)
-    assert sim_g._use_giveback(grid, state.positions.shape[0], 64), (
+    assert sim_g._use_giveback(grid, 64), (
         "giveback path must actually engage"
     )
     s_g, _ = sim_g.run(state, 20, ensemble="nve", dt=0.001)
@@ -187,7 +187,7 @@ def test_use_window_gates_on_actual_width(alloy):
     grid = (3, 3, 3)
     assert sim._use_window(grid)  # 56 % 8 == 0
     assert not sim._use_window(grid, 60)  # caller-supplied non-aligned width
-    assert not sim._use_giveback(grid, 10**6, 60)
+    assert not sim._use_giveback(grid, 60)
 
 
 def test_window_worklist_overflow_flag():
