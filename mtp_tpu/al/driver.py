@@ -115,6 +115,12 @@ class ExtrapolationMonitor:
         (round-2 VERDICT weak item 7). The beyond-cutoff (skin) pairs are
         masked by the candidate path; the caller is responsible for the
         Verlet guarantee (an unflagged simulation block provides it).
+
+        Returns the grade as a DEVICE scalar unless thresholds are set
+        (MLIP-3 style syncs eagerly — the break decision needs the value).
+        ``float()`` it, or read ``.max_grade``, to materialize; keeping it
+        lazy is what lets a fused AL loop avoid two ~50 ms host round-trips
+        per evaluation through the remote-TPU tunnel.
         """
         model = self.model
         if nl is None:
