@@ -122,6 +122,15 @@ class ExtrapolationMonitor:
         lazy is what lets a fused AL loop avoid two ~50 ms host round-trips
         per evaluation through the remote-TPU tunnel.
         """
+        out = self._compute(state, nl)
+        return self._commit(out, state, refresh_forces=refresh_forces)
+
+    def _compute(self, state: MDState, nl=None) -> dict:
+        """PURE device half of :meth:`evaluate`: dispatches the grade
+        computation, touches no monitor state, applies no thresholds.
+        Drivers dispatch this BEFORE syncing run flags (the device crunches
+        the grades while the flag booleans cross the tunnel) and `_commit`
+        only the accepted segments."""
         model = self.model
         if nl is None:
             cutoff = model.cutoff
@@ -144,46 +153,45 @@ class ExtrapolationMonitor:
                     break
                 self.max_neighbors = int(self.max_neighbors * 1.5) + 8
 
-        n = state.n_atoms
-        sorted_space = hasattr(nl, "order")  # SortedNeighborList
-        if sorted_space:
+        if hasattr(nl, "order"):  # SortedNeighborList
             # ONE dispatched program: constants + fused candidates kernel +
             # grade matmul + max (the ComputeAlphaBasicRad economics)
             from mtp_tpu.al.grades import grade_eval_window
 
-            out = grade_eval_window(
+            return grade_eval_window(
                 model.schedule, model.coeffs, state.positions, state.types,
                 state.cell, nl, model.inverse_active_set,
                 config_mode=model.configuration_mode,
             )
-            self.nbh_grades = out["grades"]
-            g = out["max_grade"]
+        out = candidates_and_forces(
+            model.schedule, model.coeffs, state.positions, state.types,
+            nl.idx, state.cell, nl.mirror,
+        )
+        b = out["b"]
+        if model.configuration_mode:
+            g = cfg_grade(b, model.inverse_active_set, state.n_atoms)
+            grades = None
         else:
-            out = candidates_and_forces(
-                model.schedule,
-                model.coeffs,
-                state.positions,
-                state.types,
-                nl.idx,
-                state.cell,
-                nl.mirror,
-            )
-            b = out["b"]
-            if model.configuration_mode:
-                g = cfg_grade(b, model.inverse_active_set, n)
-                self.nbh_grades = None
-            else:
-                grades = nbh_grades(b, model.inverse_active_set)
-                self.nbh_grades = grades  # device; materialized on access
-                g = jnp.max(grades)
-        self.max_grade = g  # device scalar; float()ed lazily on access
+            grades = nbh_grades(b, model.inverse_active_set)
+            g = jnp.max(grades)
+        return dict(
+            forces=out["forces"], energy=out["energy"], max_grade=g,
+            grades=grades,
+        )
 
+    def _commit(self, out: dict, state: MDState, *, refresh_forces: bool):
+        """Host half of :meth:`evaluate`: store the observables (lazily),
+        apply MLIP-3 thresholds (the one host sync), optionally return the
+        state with forces/energy refreshed from the shared pass."""
+        self.nbh_grades = out["grades"]  # device; materialized on access
+        self.max_grade = out["max_grade"]  # device scalar; lazy float()
+        g = out["max_grade"]
         if self.mlip3_style:
             # thresholds need the value NOW — this is the one host sync
             g = self.max_grade
             self._apply_thresholds(state)
         if refresh_forces:
-            # candidates_and_forces_window already returns user-order forces
+            # the window path already returns user-order forces
             new_state = dataclasses.replace(
                 state,
                 forces=out["forces"],
@@ -349,6 +357,12 @@ def run_with_extrapolation(
                 state, k, aux=aux, return_nl=True, refresh=False,
                 **run_kwargs,
             )
+            # speculative grade dispatch BEFORE the flag sync: the device
+            # computes the grades while the two flag booleans cross the
+            # tunnel (~50 ms). The computation is pure (_compute touches no
+            # monitor state, writes no cfg, raises no break), so a tripped
+            # segment just discards it and retries.
+            pending = monitor._compute(new_state, nl=nl)
             # ONE device->host transfer for both flags: each bool() is a
             # separate ~50 ms sync through the axon tunnel
             ovf, stale = jax.device_get((flags.overflow, flags.stale))
@@ -364,10 +378,10 @@ def run_with_extrapolation(
                     )
                 sim.steps_per_rebuild = max(1, sim.steps_per_rebuild // 2)
                 continue
-            state, aux = new_state, new_aux
             break
         done += k
-        _, state = monitor.evaluate(state, refresh_forces=True, nl=nl)
+        _, state = monitor._commit(pending, new_state, refresh_forces=True)
+        aux = new_aux
         if observer is not None:
             observer(state, monitor)
     return state
