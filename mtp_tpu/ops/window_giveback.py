@@ -198,6 +198,11 @@ def _gb_kernel(bases_ref, wl_ref, off_ref, win_ref, il_ref, o2_ref, o_ref, acc_r
                 lane_c = jnp.where(m0, lane, 0)
                 cols = [win_ref[cc, :, pl.ds(ci * 128, 128)] for cc in range(3)]
                 dtype = cols[0].dtype
+                # per-(group, octile) nesting ON PURPOSE: a sublane-tiled
+                # (J, 128) take_along that resolves all groups per octile in
+                # one op measured 171 ms vs this form's 110 at 1M — Mosaic
+                # lowers the fat gather + tile WORSE than 8 single-vreg-ish
+                # (8, 128) shuffles. Data volume is identical either way.
                 for g in range(j // 8):
                     sl = slice(g * 8, (g + 1) * 8)
                     lg = lane_c[sl]
