@@ -190,6 +190,27 @@ def test_use_window_gates_on_actual_width(alloy):
     assert not sim._use_giveback(grid, 60)
 
 
+def test_window_disengagement_warns_from_runs_not_queries(alloy):
+    """Falling back off the 2-4x window fast path must NEVER be silent
+    (round-2 VERDICT weak item 5) — but only actual runs warn, and a query
+    must not consume the warn-once budget and mask a later real event."""
+    import warnings
+
+    model, _ = alloy
+    sim = Simulation(model, max_neighbors=60, window=True)
+    grid = (3, 3, 3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # queries must stay silent
+        assert sim.engaged_paths(grid)["window"] is False
+        assert not sim._use_window(grid)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert not sim._use_window(grid, warn=True)  # the run entry points
+        assert len(w) == 1 and "DISENGAGED" in str(w[0].message)
+        assert not sim._use_window(grid, warn=True)  # once per reason
+        assert len(w) == 1
+
+
 def test_window_worklist_overflow_flag():
     """A list whose per-group indices touch more than MAXW distinct chunks
     must trip the coverage flag, not produce silent garbage. (Physical
