@@ -77,12 +77,12 @@ def candidate_vectors(sched: MTPSchedule, coeffs, positions, types, nbr_idx, cel
     mu_onehot = jnp.asarray(
         np.eye(MU, dtype=np.float64)[sched.basic[:, 0]], dtype=dtype
     )  # (B, MU)
-    gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)  # (N,J,MU)
-    rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])  # (N,S,MU,RB)
+    gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot, precision=jax.lax.Precision.HIGHEST)  # (N,J,MU)
+    rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"], precision=jax.lax.Precision.HIGHEST)  # (N,S,MU,RB)
 
     # scatter into the (itype, jtype) block: b_rad[n, ti, s, mu, ri]
     it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype)  # (N,S)
-    b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(n, S * S * MU * RB)
+    b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad, precision=jax.lax.Precision.HIGHEST).reshape(n, S * S * MU * RB)
 
     b = jnp.concatenate([b_rad, it_onehot, basis_members], axis=1)  # (N, P)
     return b, site_e
@@ -159,15 +159,15 @@ def candidates_and_forces(
     w = jnp.where(mask, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
     jt_onehot = jax.nn.one_hot(jtypes, S, dtype=dtype) * w[..., None]
     mu_onehot = jnp.asarray(np.eye(MU, dtype=np.float64)[sched.basic[:, 0]], dtype)
-    gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)
-    rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])
+    gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot, precision=jax.lax.Precision.HIGHEST)
+    rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"], precision=jax.lax.Precision.HIGHEST)
     it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype)
     if row_valid is not None:
         rv = row_valid.astype(dtype)[:, None]
         it_onehot = it_onehot * rv  # zeroes the species AND radial blocks
         basis_members = basis_members * rv
         site_e = jnp.where(row_valid, site_e, 0.0)
-    b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(n, S * S * MU * RB)
+    b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad, precision=jax.lax.Precision.HIGHEST).reshape(n, S * S * MU * RB)
     b = jnp.concatenate([b_rad, it_onehot, basis_members], axis=1)
 
     return dict(
@@ -221,7 +221,7 @@ def candidates_and_forces_window(
     S = sched.species_count
     row_valid = (jnp.arange(n_pad) < n).astype(dtype)[:, None]
     it_onehot = jax.nn.one_hot(it_row[0], S, dtype=dtype) * row_valid
-    b_rad = jnp.einsum("nt,np->ntp", it_onehot, out["rad"]).reshape(
+    b_rad = jnp.einsum("nt,np->ntp", it_onehot, out["rad"], precision=jax.lax.Precision.HIGHEST).reshape(
         n_pad, S * S * sched.radial_funcs_count * sched.radial_basis_size
     )
     b = jnp.concatenate([b_rad, it_onehot, out["basis_members"]], axis=1)
@@ -272,7 +272,13 @@ def nbh_grades(b, inverse_active_set):
 
     One (N,P)x(P,P) MXU matmul for the whole configuration (the TPU-native
     replacement for pair_mtp_extrapolation_kokkos.cpp:1108-1172)."""
-    g = jnp.abs(b @ inverse_active_set.astype(b.dtype).T)
+    # HIGHEST: the default MXU precision rounds the f32 operands on TPU —
+    # measured 0.13 absolute error on candidate columns of scale ~30 and
+    # O(1e-2) on grades compared against O(1) thresholds (tpu_smoke catch)
+    g = jnp.abs(jnp.matmul(
+        b, inverse_active_set.astype(b.dtype).T,
+        precision=jax.lax.Precision.HIGHEST,
+    ))
     return jnp.max(g, axis=-1)
 
 
@@ -281,5 +287,8 @@ def cfg_grade(b, inverse_active_set, n_atoms):
     """Configuration-mode grade: sum candidate vectors over atoms, one matvec,
     normalize by atom count (pair_mtp_extrapolation.cpp:363-377)."""
     bsum = jnp.sum(b, axis=0)
-    g = jnp.max(jnp.abs(inverse_active_set.astype(b.dtype) @ bsum))
+    g = jnp.max(jnp.abs(jnp.matmul(
+        inverse_active_set.astype(b.dtype), bsum,
+        precision=jax.lax.Precision.HIGHEST,
+    )))
     return g / jnp.maximum(n_atoms, 1)

@@ -88,6 +88,45 @@ def main():
         dt_ms = (time.perf_counter() - t0) / 50 * 1e3
         print(f"  50-step scan: {dt_ms:.2f} ms/step")
 
+    # the fused candidates kernel (grade-step path) vs the XLA candidate
+    # path ON DEVICE — new kernels must prove themselves under Mosaic, not
+    # just interpret mode (the dot-precision bias was invisible on CPU)
+    from mtp_tpu.al.grades import candidates_and_forces, candidates_and_forces_window
+    from mtp_tpu.models.mtp import _gather_rows3, _gather_scalar, window_constants
+
+    swl = sim_x.rebuild(state, grid=grid, max_neighbors=56)
+    if not hasattr(swl, "order"):
+        from mtp_tpu.ops.neighbors import build_sorted_neighbor_list
+
+        swl = build_sorted_neighbor_list(
+            state.positions, state.cell, model.cutoff + 0.6,
+            max_neighbors=56, grid=grid, align_slots=True,
+        )
+    consts = window_constants(
+        model.schedule, model.coeffs, state.types, swl, jnp.float32
+    )
+    out_w = candidates_and_forces_window(
+        model.schedule, model.coeffs, state.positions, state.cell, swl,
+        **consts,
+    )
+    n_pad = swl.idx.shape[0]
+    pos_s = jnp.pad(
+        _gather_rows3(state.positions, swl.order), ((0, n_pad - n), (0, 0))
+    )
+    types_s = jnp.pad(_gather_scalar(state.types, swl.order), (0, n_pad - n))
+    out_ref = candidates_and_forces(
+        model.schedule, model.coeffs, pos_s, types_s, swl.idx, state.cell,
+        swl.mirror, row_valid=jnp.arange(n_pad) < n,
+    )
+    db = float(jnp.max(jnp.abs(out_w["b"] - out_ref["b"])))
+    dfc = float(jnp.max(jnp.abs(
+        out_w["forces"] - _gather_rows3(out_ref["forces"], swl.inv_order)
+    )))
+    good = db < 1e-4 and dfc < 5e-4
+    ok &= good
+    print(f"candidates megakernel: max|db|={db:.2e} max|dF|={dfc:.2e} "
+          f"{'OK' if good else 'FAIL'}")
+
     print("tpu_smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
