@@ -682,12 +682,12 @@ def make_sharded_grades(
         w = jnp.where(mask, jnp.asarray(1.0, dtype), 0.0)
         jt_onehot = jax.nn.one_hot(jtypes, S, dtype=dtype) * w[..., None]
         mu_onehot = jnp.asarray(np.eye(MU)[sched.basic[:, 0]], dtype)
-        gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot)
-        rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"])
+        gU = jnp.einsum("nk,njk,km->njm", gamma, aux["U"], mu_onehot, precision=jax.lax.Precision.HIGHEST)
+        rad = jnp.einsum("njm,njs,njr->nsmr", gU, jt_onehot, aux["cheb"], precision=jax.lax.Precision.HIGHEST)
         it_onehot = jax.nn.one_hot(itypes, S, dtype=dtype) * real[:, None].astype(dtype)
         b = jnp.concatenate(
             [
-                jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad).reshape(
+                jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad, precision=jax.lax.Precision.HIGHEST).reshape(
                     C, S * S * MU * RB
                 ),
                 it_onehot,
@@ -700,9 +700,16 @@ def make_sharded_grades(
         if cfg_mode:
             bsum = jax.lax.psum(jnp.sum(b, axis=0), axis)
             natoms = jax.lax.psum(jnp.sum(real), axis)
-            g = jnp.max(jnp.abs(inv_a.astype(dtype) @ bsum)) / jnp.maximum(natoms, 1)
+            g = jnp.max(jnp.abs(jnp.matmul(
+                inv_a.astype(dtype), bsum,
+                precision=jax.lax.Precision.HIGHEST,
+            ))) / jnp.maximum(natoms, 1)
             return g, jnp.zeros((C,), dtype), flags
-        grades = jnp.max(jnp.abs(b @ inv_a.astype(dtype).T), axis=-1)
+        # HIGHEST: the default MXU precision rounds f32 operands on TPU
+        # (0.13 abs error on candidate columns — see al/grades.py)
+        grades = jnp.max(jnp.abs(jnp.matmul(
+            b, inv_a.astype(dtype).T, precision=jax.lax.Precision.HIGHEST,
+        )), axis=-1)
         grades = jnp.where(real, grades, 0.0)
         gmax = jax.lax.pmax(jnp.max(grades), axis)
         return gmax, grades, flags
