@@ -140,6 +140,12 @@ class ExtrapolationMonitor:
             # a truncated neighbor list would silently UNDERESTIMATE grades —
             # the one failure mode this subsystem exists to prevent — so grow
             # the capacity until the build fits
+            # standalone evals keep the plain (unsorted) build + XLA path:
+            # a sorted/aligned build costs more than it saves at this
+            # call rate (measured 27 vs 173 evals/s at 4k), and the XLA
+            # grade path is precision-pinned. MD-coupled evals pass the
+            # simulation's SortedNeighborList via `nl` and get the fused
+            # kernel path.
             while True:
                 nl = build_neighbor_list(
                     state.positions,
