@@ -405,6 +405,7 @@ def build_sorted_neighbor_list(
     align_slots: bool = False,
     real=None,
     bin_capacity: int | None = None,
+    repair: bool = True,
 ):
     """Cell-list build over bin-sorted atoms + banded-window metadata.
 
@@ -473,7 +474,23 @@ def build_sorted_neighbor_list(
             idx_pad, window_idx, cls
         )
         mirror, rev = reverse_slots(idx_pad)
-        gb = giveback_metadata(idx_pad, window_idx, rev, num_tiles(n_pad), wl)
+        k_spill = None
+        if repair:
+            # relocate octant-overflow pairs onto complementary-sublane
+            # pads (ops/slot_repair.py): residual spills drop to ~0 at
+            # J=64, so the per-step XLA spill gather (cost linear in its
+            # STATIC capacity, ~50 ms at 1M for the default 0.75/atom
+            # budget) shrinks 6x. `aligned` keeps the pre-repair flags
+            # (diagnostic only; eligibility is recomputed from rev).
+            from mtp_tpu.ops.slot_repair import repair_spills
+
+            idx_pad, window_idx, rev, mirror = repair_spills(
+                idx_pad, window_idx, rev, n
+            )
+            k_spill = n_pad // 8 if nl.idx.shape[1] >= 64 else None
+        gb = giveback_metadata(
+            idx_pad, window_idx, rev, num_tiles(n_pad), wl, k_spill=k_spill
+        )
         covered = covered & gb.pop("covered")
     else:
         mirror = mirror_permutation(idx_pad)

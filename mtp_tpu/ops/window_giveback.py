@@ -54,7 +54,7 @@ def flip_perm(j: int):
     return 8 * (s // 8) + (7 - s % 8)
 
 
-def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl):
+def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl, k_spill=None):
     """Rebuild-time metadata for :func:`window_giveback`.
 
     Args:
@@ -130,7 +130,9 @@ def giveback_metadata(idx, window_idx, rev, n_tiles: int, wl):
     # the N_pad*ROW_SP survivors) — jnp.flatnonzero over the flat 64M mask
     # was a large fraction of the 962 ms giveback_metadata cost at 1M.
     spill = real & ~elig  # (N_pad, J)
-    k_spill = -(-(3 * n_pad) // 4) if j >= 64 else 3 * n_pad
+    if k_spill is None:
+        # no spill repair: 1.5x margin over the measured ~0.49/atom at J=64
+        k_spill = -(-(3 * n_pad) // 4) if j >= 64 else 3 * n_pad
     row_sp = 16
     iota_j = jnp.arange(j, dtype=jnp.int32)[None, :]
     rows_sp = jnp.sort(

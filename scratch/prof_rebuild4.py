@@ -52,8 +52,13 @@ def timeit(label, fn, reps_n=4):
     return out
 
 
-timeit("FULL build_sorted (align)", jax.jit(lambda p: build_sorted_neighbor_list(
-    p, celld, cutoff, max_neighbors=J, grid=grid, align_slots=True).idx))
+def _full(p):
+    s = build_sorted_neighbor_list(
+        p, celld, cutoff, max_neighbors=J, grid=grid, align_slots=True)
+    return (s.idx, s.window_idx, s.wl, s.wl_counts, s.order, s.inv_order,
+            s.mirror, s.rev, s.overflow, s.gb)
+full = jax.jit(_full)
+timeit("FULL build_sorted (align, all outputs)", lambda: full(pos))
 
 
 @jax.jit
@@ -87,22 +92,38 @@ def stage_rowsort(idx):
 
 
 idx_pad = timeit("pad + row sort", lambda: stage_rowsort(idx))
-wi0 = timeit("pad_window_lists", lambda: jax.jit(
-    lambda i: pad_window_lists(i, n_pad))(idx_pad))
-wl, wlc, cov = jax.jit(lambda w: worklists(w, num_tiles(n_pad)))(wi0)
-timeit("worklists", lambda: jax.jit(
-    lambda w: worklists(w, num_tiles(n_pad))[0])(wi0))
+pwl_j = jax.jit(lambda i: pad_window_lists(i, n_pad))
+wi0 = timeit("pad_window_lists", lambda: pwl_j(idx_pad))
+wl_j = jax.jit(lambda w: worklists(w, num_tiles(n_pad)))
+wl, wlc, cov = wl_j(wi0)
+timeit("worklists", lambda: wl_j(wi0)[0])
 
 pos_pad = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(spos)
 dispT = timeit("window_disp (rebuild)", lambda: window_disp(
     pos_pad, wi0, wl, wlc, celld))
-cls = timeit("octant_classes_T", lambda: jax.jit(octant_classes_T)(dispT, idx_pad))
-out = timeit("assign_slots_apply", lambda: jax.jit(assign_slots_apply)(
-    idx_pad, wi0, cls)[0])
-idx_al, wi_al, aligned = jax.jit(assign_slots_apply)(idx_pad, wi0, cls)
+oc_j = jax.jit(octant_classes_T)
+cls = timeit("octant_classes_T", lambda: oc_j(dispT, idx_pad))
+as_j = jax.jit(assign_slots_apply)
+out = timeit("assign_slots_apply", lambda: as_j(idx_pad, wi0, cls)[0])
+idx_al, wi_al, aligned = as_j(idx_pad, wi0, cls)
 jax.block_until_ready(idx_al)
-mr = timeit("reverse_slots", lambda: jax.jit(reverse_slots)(idx_al)[0])
-mirror, rev = jax.jit(reverse_slots)(idx_al)
-timeit("giveback_metadata", lambda: jax.jit(
-    lambda a, b, c, w: giveback_metadata(a, b, c, num_tiles(n_pad), w)["bases"])(
-    idx_al, wi_al, rev, wl))
+rs_j = jax.jit(reverse_slots)
+mr = timeit("reverse_slots", lambda: rs_j(idx_al)[0])
+mirror, rev = rs_j(idx_al)
+gm_j = jax.jit(lambda a, b, c, w: giveback_metadata(a, b, c, num_tiles(n_pad), w))
+timeit("giveback_metadata", lambda: gm_j(idx_al, wi_al, rev, wl)["bases"])
+from mtp_tpu.ops.slot_repair import repair_spills
+rp_j = jax.jit(lambda a, b, c: repair_spills(a, b, c, n))
+timeit("repair_spills (NEW)", lambda: rp_j(idx_al, wi_al, rev)[0])
+idx_r, wi_r, rev_r, mir_r = rp_j(idx_al, wi_al, rev)
+jax.block_until_ready(idx_r)
+# residual spill stats before/after
+def spills(ii, rr):
+    rows = jnp.arange(ii.shape[0], dtype=jnp.int32)[:, None]
+    s8 = (jnp.arange(ii.shape[1], dtype=jnp.int32) % 8)[None, :]
+    real = ii != rows
+    elig = real & ((rr % 8) == (7 - s8))
+    return int(jnp.sum(real & ~elig)), int(jnp.sum(real))
+sb, rl = spills(idx_al, rev)
+sa, _ = spills(idx_r, rev_r)
+print(f"spills/atom before={sb/n:.3f} after={sa/n:.3f} (real/atom {rl/n:.1f})")
