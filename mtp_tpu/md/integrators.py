@@ -317,20 +317,42 @@ def npt_aniso_init(dtype=jnp.float32) -> NPTAnisoAux:
     )
 
 
+def _mm3(a, b):
+    """(3,3) @ (3,3) at HIGHEST precision. XLA-on-TPU lowers even tiny
+    matmuls to the MXU, whose DEFAULT precision rounds f32 operands to ~8
+    mantissa bits — measured 0.5 A error on `pos @ eye(3)` for a 252 A box
+    (scratch/probe_precision.py). Every cell/velocity transform here must
+    be exact f32."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _xm3(x, m):
+    """(N,3) @ (3,3) unrolled per component: exact VPU f32 (no MXU operand
+    rounding — see :func:`_mm3`) and faster (the matrix form uses 3/128 MXU
+    lanes; see models/mtp.minimum_image)."""
+    return jnp.stack(
+        [
+            x[:, 0] * m[0, a] + x[:, 1] * m[1, a] + x[:, 2] * m[2, a]
+            for a in range(3)
+        ],
+        axis=1,
+    )
+
+
 def _sym_expm(a):
     """exp(A) for a small symmetric (3,3) A by 4th-order series (barostat
     strain increments are ~dt*eps_dot ~ 1e-4; the series truncation error
     ~|A|^5 is far below fp precision — no eigh needed on the hot path)."""
     eye = jnp.eye(3, dtype=a.dtype)
-    a2 = a @ a
-    return eye + a + a2 / 2.0 + a2 @ a / 6.0 + a2 @ a2 / 24.0
+    a2 = _mm3(a, a)
+    return eye + a + a2 / 2.0 + _mm3(a2, a) / 6.0 + _mm3(a2, a2) / 24.0
 
 
 def _sinh_ratio_m(a):
     """f(A) = sinh(A/2)/(A/2) as a series in A^2 (commutes with exp(A))."""
     eye = jnp.eye(3, dtype=a.dtype)
-    a2 = a @ a
-    return eye + a2 / 24.0 + a2 @ a2 / 1920.0
+    a2 = _mm3(a, a)
+    return eye + a2 / 24.0 + _mm3(a2, a2) / 1920.0
 
 
 def _voigt_to_tensor(v):
@@ -392,10 +414,13 @@ def npt_aniso_step(
     def omega_dot_half(state, aux):
         """p_g += dt/2 [V(P_int - p_ext I) + (2KE/ndof) I]."""
         vol = volume_of(state)
-        mvv = (
-            units.MVV2E
-            * (state.velocities * state.masses[:, None]).T
-            @ state.velocities
+        # HIGHEST: default MXU precision rounds the operands (~8e-5 relative
+        # on this (3,N)@(N,3) shape, scratch/probe_precision.py) — the
+        # kinetic pressure tensor feeds the barostat every step
+        mvv = units.MVV2E * jnp.matmul(
+            (state.velocities * state.masses[:, None]).T,
+            state.velocities,
+            precision=jax.lax.Precision.HIGHEST,
         )
         p_int = (mvv + _voigt_to_tensor(state.virial)) / vol
         ke2 = 2.0 * kinetic_energy(state)
@@ -407,7 +432,9 @@ def npt_aniso_step(
         alpha = _sym_expm(
             -0.5 * dt * (aux.baro_v + (jnp.trace(aux.baro_v) / ndof) * eye)
         )
-        return dataclasses.replace(state, velocities=state.velocities @ alpha)
+        return dataclasses.replace(
+            state, velocities=_xm3(state.velocities, alpha)
+        )
 
     state, thermo = _nhc_half(state, aux.thermo, dt, temperature, tdamp)
     aux = aux._replace(thermo=thermo)
@@ -424,9 +451,9 @@ def npt_aniso_step(
     f_sinh = _sinh_ratio_m(a)
     state = dataclasses.replace(
         state,
-        positions=state.positions @ e_full
-        + dt * state.velocities @ (e_half @ f_sinh),
-        cell=state.cell @ e_full,
+        positions=_xm3(state.positions, e_full)
+        + dt * _xm3(state.velocities, _mm3(e_half, f_sinh)),
+        cell=_mm3(state.cell, e_full),
     )
 
     state = _with_forces(state, force_fn)

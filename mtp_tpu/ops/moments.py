@@ -136,7 +136,12 @@ def _radial_part(sched: MTPSchedule, coeffs, dist, itypes, jtypes, dtype):
     ).astype(dtype)
     # (S,S,MU,RB) gathered at (N,J) pair types -> (N,J,MU,RB)
     c = coeffs.radial_coeffs.astype(dtype)[itypes[:, None], jtypes]
-    f = jnp.einsum("njmr,njr->njm", c, cheb)
+    # HIGHEST: this path is the TPU fallback for boxes the window kernels
+    # disengage on (min(grid) < 3); XLA lowers einsums to the MXU, whose
+    # default precision rounds f32 operands (the tpu_smoke-caught bug class)
+    f = jnp.einsum(
+        "njmr,njr->njm", c, cheb, precision=jax.lax.Precision.HIGHEST
+    )
     return cheb, f
 
 
@@ -170,7 +175,9 @@ def basic_moments(sched: MTPSchedule, coeffs, disp, mask, itypes, jtypes, dtype=
     U = upow[..., ax, 0] * upow[..., ay, 1] * upow[..., az, 2]  # (N, J, B)
     F = f[..., basic[:, 0]]  # (N, J, B)
     w = jnp.where(mask, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
-    m_basic = jnp.einsum("njb,nj->nb", F * U, w)
+    m_basic = jnp.einsum(
+        "njb,nj->nb", F * U, w, precision=jax.lax.Precision.HIGHEST
+    )
     aux = dict(cheb=cheb, U=U, dist=dist, mask=mask)
     return m_basic, aux
 
@@ -198,7 +205,14 @@ def readout(sched: MTPSchedule, coeffs, moments, itypes):
     (pair_mtp.cpp:204-212)."""
     dtype = moments.dtype
     basis_members = moments[:, sched.mapping]  # (N, S)
-    e = basis_members @ coeffs.moment_coeffs.astype(dtype)
+    # HIGHEST: the kernel path's energy readout at default MXU precision
+    # measured a constant -1.5e-3 eV/atom bias on v5e (PARITY.md); the XLA
+    # fallback readout gets the same pin for the same <1e-6 eV/atom gate
+    e = jnp.matmul(
+        basis_members,
+        coeffs.moment_coeffs.astype(dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return e + coeffs.species_coeffs.astype(dtype)[itypes], basis_members
 
 

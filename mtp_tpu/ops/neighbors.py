@@ -89,6 +89,26 @@ def grid_shape(cell, cutoff: float) -> tuple:
     return tuple(int(max(1, np.floor(wi / cutoff))) for wi in w)
 
 
+def _frac_unrolled(positions, inv_cell):
+    """positions @ inv_cell, unrolled per component.
+
+    The matrix form hits the MXU, whose DEFAULT precision rounds f32
+    operands to ~8 mantissa bits: positions of a 252 A box would bin with
+    up to ~0.5 A error, enough to shift an atom one bin on a commensurate
+    grid and silently drop true neighbors from the 3x3x3 stencil. The
+    unrolled form is exact VPU f32 (and faster — a (.., 3) @ (3, 3) matmul
+    uses 3/128 MXU lanes; see models/mtp.minimum_image)."""
+    return jnp.stack(
+        [
+            positions[:, 0] * inv_cell[0, a]
+            + positions[:, 1] * inv_cell[1, a]
+            + positions[:, 2] * inv_cell[2, a]
+            for a in range(3)
+        ],
+        axis=1,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -135,7 +155,7 @@ def build_neighbor_list(
     gx, gy, gz = grid
     ncells = gx * gy * gz
     inv_cell = jnp.linalg.inv(cell)
-    frac = positions @ inv_cell
+    frac = _frac_unrolled(positions, inv_cell)
     frac = frac - jnp.floor(frac)  # wrap to [0,1)
 
     # the bin grid is static but the cell is runtime (NPT changes volume):
@@ -423,7 +443,7 @@ def build_sorted_neighbor_list(
     n = positions.shape[0]
     gx, gy, gz = grid
     inv_cell = jnp.linalg.inv(cell)
-    frac = positions @ inv_cell
+    frac = _frac_unrolled(positions, inv_cell)
     frac = frac - jnp.floor(frac)
     dims = jnp.asarray(grid)
     bin3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)

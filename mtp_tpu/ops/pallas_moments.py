@@ -768,10 +768,14 @@ def contract_dag_t(sched, m_basic_t):
     dtype = m_basic_t.dtype
     m = jnp.zeros((M, N), dtype=dtype)
     m = m.at[: sched.basic_count].set(m_basic_t)
+    # HIGHEST: on TPU the default MXU precision rounds f32 operands
+    # (PARITY.md); this path is the XLA cross-check side of the kernel
+    # parity tests, so it must not inherit the same bias it checks for
+    hi = jax.lax.Precision.HIGHEST
     for w0, a1m, s3 in _dag_matrices(sched):
-        p0 = jnp.asarray(w0, dtype) @ m
-        p1 = jnp.asarray(a1m, dtype) @ m
-        m = m + jnp.asarray(s3, dtype) @ (p0 * p1)
+        p0 = jnp.matmul(jnp.asarray(w0, dtype), m, precision=hi)
+        p1 = jnp.matmul(jnp.asarray(a1m, dtype), m, precision=hi)
+        m = m + jnp.matmul(jnp.asarray(s3, dtype), p0 * p1, precision=hi)
     return m
 
 
@@ -784,6 +788,10 @@ def site_energies_fused(sched, coeffs, dispT, mask, itypes_row, jtypes_t):
     )
     m = contract_dag_t(sched, mb)
     basis_members = m[sched.mapping]  # (n_scalar, N)
-    e = coeffs.moment_coeffs.astype(dtype) @ basis_members
+    e = jnp.matmul(
+        coeffs.moment_coeffs.astype(dtype),
+        basis_members,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return e + coeffs.species_coeffs.astype(dtype)[itypes_row[0]]
 

@@ -454,7 +454,12 @@ def make_sharded_md_block(
             site_e = jnp.where(real, site_e, 0.0)
             pe = jax.lax.psum(jnp.sum(site_e), axis)
             r = jnp.where(mask[..., None], disp, 0.0)
-            wv = -jnp.einsum("nja,njb->ab", pair_t, r)
+            # HIGHEST: default MXU precision rounds f32 operands (~2e-3
+            # relative on this shape, scratch/probe_precision.py); the
+            # virial drives the (sharded) barostat
+            wv = -jnp.einsum(
+                "nja,njb->ab", pair_t, r, precision=jax.lax.Precision.HIGHEST
+            )
             wv = 0.5 * (wv + wv.T)
             vir = jax.lax.psum(
                 jnp.stack(

@@ -127,6 +127,29 @@ def main():
     print(f"candidates megakernel: max|db|={db:.2e} max|dF|={dfc:.2e} "
           f"{'OK' if good else 'FAIL'}")
 
+    # integrator/geometry transform exactness ON DEVICE: XLA lowers even
+    # (N,3)@(3,3) to the MXU, whose default precision rounds f32 operands
+    # (measured 0.5 A on `pos @ eye` for a 252 A box — would corrupt the
+    # aniso-NPT drift and the cell-bin assignment). The production paths
+    # use unrolled/HIGHEST forms; this check fails if a plain `@` sneaks
+    # back in (scratch/probe_precision.py for the measurements).
+    from mtp_tpu.md import integrators as itg
+
+    rng = np.random.default_rng(1)
+    p64 = rng.uniform(0, 252.0, (4096, 3))
+    e64 = np.eye(3) + rng.normal(0, 1e-5, (3, 3))
+    p32 = jnp.asarray(p64, jnp.float32)
+    e32 = jnp.asarray(e64, jnp.float32)
+    drift = np.asarray(jax.jit(itg._xm3)(p32, e32), np.float64)
+    dmax = np.abs(drift - p64 @ e64).max()
+    cell_t = np.asarray(jax.jit(itg._mm3)(jnp.asarray(e64 * 252.0, jnp.float32),
+                                          e32), np.float64)
+    cmax = np.abs(cell_t - (e64 * 252.0) @ e64).max()
+    good = dmax < 5e-4 and cmax < 5e-4
+    ok &= good
+    print(f"integrator transforms: max|dr|={dmax:.2e} max|dh|={cmax:.2e} "
+          f"{'OK' if good else 'FAIL'}")
+
     print("tpu_smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
