@@ -288,10 +288,16 @@ def main():
                      compute_virial=False, giveback=True)
     state, _, ovf = sim.run_async(state, 25, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
-    t0 = time.perf_counter()
-    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
-    float(jnp.sum(state.positions))
-    v = n * 40 / (time.perf_counter() - t0)
+    # best-of-2 like every other config: the first 40-step window compiles
+    # the 15-step tail block (25+15) — one-shot timing ate ~10 s of remote
+    # compile whenever the code (and so the persistent cache key) changed
+    v = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+        float(jnp.sum(state.positions))
+        v = max(v, n * 40 / (time.perf_counter() - t0))
+        assert not bool(ovf)
     _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
               atom_steps_per_s=round(v, 1), overflow=bool(ovf))
 
