@@ -113,7 +113,9 @@ class ShardedState:
             cell=put(jnp.asarray(cell, dtype), rep),
             potential_energy=put(jnp.zeros((), dtype), rep),
             virial=put(jnp.zeros((6,), dtype), rep),
-            thermo=put(jnp.zeros((9,), dtype), rep),
+            # [xi(2) | eta(2) | baro_xi(2) | baro_eta(2) | baro_v: scalar
+            # at [8] (iso MTK) or Voigt-6 at [8:14] (aniso/tri MTK)]
+            thermo=put(jnp.zeros((14,), dtype), rep),
         )
 
     def gather(self, arr_sharded, n_atoms: int) -> np.ndarray:

@@ -15,7 +15,9 @@ step-scan program makes the scan ~30% slower, see CLAUDE.md):
   neighbor build over the halo-EXTENDED set (ghost rows get neighbor rows
   too, so the mirror/give-back machinery sees a symmetric list) ->
   rebuild-constant pair tables (types, masks, octant slots, worklists).
-* `steps`: a `lax.scan` of integrator steps (NVE / NHC-NVT / iso-MTK NPT);
+* `steps`: a `lax.scan` of integrator steps (NVE / NHC-NVT / iso-MTK NPT /
+  aniso+triclinic MTK NPT — the tensor-barostat reductions psum over the
+  mesh like the scalar ones);
   each force evaluation is two (H, 3) ppermutes (ghost positions in, ghost
   force contributions out) around :func:`mtp_energy_forces_window` — the
   window displacement kernel + fused megakernel + in-kernel Newton
@@ -267,7 +269,9 @@ class ShardedSimulation:
         axis = self.axis
         nd = self.nd
         gb_on = self.gb_on
-        cv = self.compute_virial or ensemble == "npt"
+        aniso = ensemble in ("npt-aniso", "npt-tri")
+        couple = "tri" if ensemble == "npt-tri" else "aniso"
+        cv = self.compute_virial or ensemble == "npt" or aniso
         cut_skin = self.w_cut
         skin = self.skin
         perm_fwd, perm_bwd = self.perm_fwd, self.perm_bwd
@@ -342,6 +346,11 @@ class ShardedSimulation:
             q2 = kt * tdamp**2
             p_ext = pressure / units.EVA3_TO_BAR
             w_b, qb1, qb2 = itg._npt_masses(ndof, kt, tdamp, pdamp)
+            # aniso/tri MTK: the barostat momentum is a symmetric tensor
+            # (Voigt-6 in thermo[8:14]); n_modes thermostatted modes
+            n_modes = 6 if couple == "tri" else 3
+            qb1_a = n_modes * qb1
+            eye3 = jnp.eye(3, dtype=dtype)
 
             def ke2_of(vel):
                 return jax.lax.psum(
@@ -371,6 +380,50 @@ class ShardedSimulation:
                 p_int = (ke2 + w_tr) / (3.0 * vol)
                 g = (3.0 * vol * (p_int - p_ext) + (3.0 / ndof) * ke2) / w_b
                 return bv + 0.5 * dt * g
+
+            # ---- aniso/tri MTK pieces (tensor barostat, Voigt-6 state);
+            # the per-shard math mirrors integrators.npt_aniso_step with the
+            # two scalar reductions (KE tensor, virial) psum'd over shards
+            def _couple6(bv6):
+                if couple == "tri":
+                    return bv6
+                return bv6 * jnp.asarray([1, 1, 1, 0, 0, 0], dtype)
+
+            def baro_chain_half_a(bv6, bxi, beta):
+                sumsq = jnp.sum(bv6[:3] * bv6[:3]) + 2.0 * jnp.sum(
+                    bv6[3:] * bv6[3:]
+                )
+                scale, bxi, beta = itg._nhc_chain_half(
+                    w_b * sumsq, n_modes, bxi, beta, dt, kt, q1=qb1_a, q2=qb2
+                )
+                return bv6 * scale, bxi, beta
+
+            def omega_dot_half_a(vel, vir, cell, bv6):
+                vol = jnp.abs(jnp.linalg.det(cell))
+                mv = jnp.where(real[:, None], mass_col * vel, 0.0)
+                # HIGHEST: default MXU precision rounds the f32 operands of
+                # this (3,N)@(N,3) reduction (scratch/probe_precision.py)
+                mvv = units.MVV2E * jax.lax.psum(
+                    jnp.matmul(
+                        mv.T, vel, precision=jax.lax.Precision.HIGHEST
+                    ),
+                    axis,
+                )
+                p_int = (mvv + itg._voigt_to_tensor(vir)) / vol
+                ke2 = ke2_of(vel)
+                g = (vol * (p_int - p_ext * eye3) + (ke2 / ndof) * eye3) / w_b
+                g = 0.5 * (g + g.T)
+                g6 = jnp.asarray(
+                    [g[0, 0], g[1, 1], g[2, 2], g[0, 1], g[0, 2], g[1, 2]]
+                )
+                return bv6 + _couple6(0.5 * dt * g6)
+
+            def v_press_half_a(vel, bv6):
+                pg = itg._voigt_to_tensor(bv6)
+                alpha = itg._sym_expm(
+                    -0.5 * dt * (pg + (jnp.trace(pg) / ndof) * eye3)
+                )
+                return itg._xm3(vel, alpha)
 
             # Verlet-staleness reference (non-affine displacement + shrink
             # term, same criterion as Simulation._scan_steps)
@@ -417,13 +470,18 @@ class ShardedSimulation:
                 pos, vel, f, cell, pe, vir, th, stale = carry
                 xi, eta = th[:2], th[2:4]
                 bxi, beta, bv = th[4:6], th[6:8], th[8]
-                if ensemble in ("nvt", "npt"):
+                bv6 = th[8:14]
+                if ensemble in ("nvt", "npt") or aniso:
                     vel, xi, eta = nhc_half(vel, xi, eta)
                 if ensemble == "npt":
                     bv, bxi, beta = baro_chain_half(bv, bxi, beta)
                     bv = omega_dot_half(vel, vir, cell, bv)
                     alpha = jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * bv)
                     vel = vel * alpha
+                if aniso:
+                    bv6, bxi, beta = baro_chain_half_a(bv6, bxi, beta)
+                    bv6 = omega_dot_half_a(vel, vir, cell, bv6)
+                    vel = v_press_half_a(vel, bv6)
                 vel = vel + half * f / mass_col
                 if ensemble == "npt":
                     # exact MTK position map (series-expanded sinh ratio)
@@ -433,6 +491,17 @@ class ShardedSimulation:
                     sinh_ratio = 1.0 + x2 / 6.0 + x2**2 / 120.0
                     pos = pos * s + dt * vel * jnp.exp(0.5 * x) * sinh_ratio
                     cell = cell * s
+                elif aniso:
+                    # matrix analog of the exact iso map (series-evaluated,
+                    # all factors commute; integrators.npt_aniso_step)
+                    a = dt * itg._voigt_to_tensor(bv6)
+                    e_full = itg._sym_expm(a)
+                    e_half = itg._sym_expm(0.5 * a)
+                    f_sinh = itg._sinh_ratio_m(a)
+                    pos = itg._xm3(pos, e_full) + dt * itg._xm3(
+                        vel, itg._mm3(e_half, f_sinh)
+                    )
+                    cell = itg._mm3(cell, e_full)
                 else:
                     pos = pos + dt * vel
                 f, pe, vir = force_eval(pos, cell)
@@ -441,10 +510,17 @@ class ShardedSimulation:
                     vel = vel * alpha
                     bv = omega_dot_half(vel, vir, cell, bv)
                     bv, bxi, beta = baro_chain_half(bv, bxi, beta)
-                if ensemble in ("nvt", "npt"):
+                if aniso:
+                    vel = v_press_half_a(vel, bv6)
+                    bv6 = omega_dot_half_a(vel, vir, cell, bv6)
+                    bv6, bxi, beta = baro_chain_half_a(bv6, bxi, beta)
+                if ensemble in ("nvt", "npt") or aniso:
                     vel, xi, eta = nhc_half(vel, xi, eta)
                 stale = staleness(pos, cell, stale)
-                th = jnp.concatenate([xi, eta, bxi, beta, bv[None]])
+                if aniso:
+                    th = jnp.concatenate([xi, eta, bxi, beta, bv6])
+                else:
+                    th = jnp.concatenate([xi, eta, bxi, beta, bv[None], th[9:]])
                 return (pos, vel, f, cell, pe, vir, th, stale), None
 
             carry0 = (

@@ -109,6 +109,10 @@ def npt_system(mtp_level8):
     [
         ("nvt", dict(temperature=280.0, tdamp=0.1)),
         ("npt", dict(temperature=280.0, pressure=0.0, tdamp=0.1, pdamp=0.5)),
+        ("npt-aniso",
+         dict(temperature=280.0, pressure=0.0, tdamp=0.1, pdamp=0.5)),
+        ("npt-tri",
+         dict(temperature=280.0, pressure=0.0, tdamp=0.1, pdamp=0.5)),
     ],
 )
 def test_sharded_window_thermostatted_matches_single_chip(
@@ -147,16 +151,22 @@ def test_sharded_window_thermostatted_matches_single_chip(
         ref_vec = np.concatenate([aux_ref.xi, aux_ref.eta])
         np.testing.assert_allclose(th[:4], ref_vec, atol=1e-12)
     else:
-        ref_vec = np.concatenate(
+        chains = np.concatenate(
             [
                 np.asarray(aux_ref.thermo.xi),
                 np.asarray(aux_ref.thermo.eta),
                 np.asarray(aux_ref.baro_thermo.xi),
                 np.asarray(aux_ref.baro_thermo.eta),
-                np.asarray(aux_ref.baro_v)[None],
             ]
         )
-        np.testing.assert_allclose(th, ref_vec, atol=1e-12)
+        np.testing.assert_allclose(th[:8], chains, atol=1e-12)
+        bv = np.asarray(aux_ref.baro_v)
+        if ensemble == "npt":
+            np.testing.assert_allclose(th[8], bv, atol=1e-12)
+        else:
+            voigt = [bv[0, 0], bv[1, 1], bv[2, 2], bv[0, 1], bv[0, 2],
+                     bv[1, 2]]
+            np.testing.assert_allclose(th[8:14], voigt, atol=1e-12)
 
 
 def test_sharded_window_stale_flag(cubic_system):
