@@ -259,12 +259,17 @@ def main():
     float(jnp.sum(state.positions)); assert not bool(ovf)
     sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
                      compute_virial=False, giveback=True)
-    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+    # 90 = 3 x steps_per_rebuild: rebuilds amortized at the exact steady-state
+    # 1/30-step rate (a 40-step window pays 2 rebuilds = 1/20). Best-of-2.
+    state, _, ovf = sim.run_async(state, 90, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
-    t0 = time.perf_counter()
-    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
-    float(jnp.sum(state.positions))
-    v = n * 40 / (time.perf_counter() - t0)
+    v = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, _, ovf = sim.run_async(state, 90, ensemble="nve", dt=0.001)
+        float(jnp.sum(state.positions))
+        v = max(v, n * 90 / (time.perf_counter() - t0))
+        assert not bool(ovf)
     _jsonline(config="160k-atom level-16 NVE (per-chip shard scale)", atoms=n,
               atom_steps_per_s=round(v, 1))
 
@@ -288,15 +293,15 @@ def main():
                      compute_virial=False, giveback=True)
     state, _, ovf = sim.run_async(state, 25, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
-    # best-of-2 like every other config: the first 40-step window compiles
-    # the 15-step tail block (25+15) — one-shot timing ate ~10 s of remote
-    # compile whenever the code (and so the persistent cache key) changed
+    # 75 = 3 x steps_per_rebuild: rebuilds at the exact steady-state 1/25
+    # rate (the old 40-step window paid 2 rebuilds = 1/20 plus a 15-step
+    # tail block's extra compile). Best-of-2 for tunnel dispatch jitter.
     v = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+        state, _, ovf = sim.run_async(state, 75, ensemble="nve", dt=0.001)
         float(jnp.sum(state.positions))
-        v = max(v, n * 40 / (time.perf_counter() - t0))
+        v = max(v, n * 75 / (time.perf_counter() - t0))
         assert not bool(ovf)
     _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
               atom_steps_per_s=round(v, 1), overflow=bool(ovf))
