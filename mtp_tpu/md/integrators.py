@@ -252,16 +252,17 @@ def npt_step(
         )
 
     def omega_dot_half(state, aux):
-        """p_eps += dt/2 * G_eps, with the MTK (d/ndof)*2KE correction."""
-        vol = volume_of(state)
-        w_tr = state.virial[0] + state.virial[1] + state.virial[2]
-        ke2 = 2.0 * kinetic_energy(state)
-        p_int = (ke2 + w_tr) / (3.0 * vol)
-        g = (3.0 * vol * (p_int - p_ext) + (3.0 / ndof) * ke2) / w
-        return aux._replace(baro_v=aux.baro_v + 0.5 * dt * g)
+        bv = mtk_iso_omega_half(
+            aux.baro_v,
+            vol=volume_of(state),
+            w_tr=state.virial[0] + state.virial[1] + state.virial[2],
+            ke2=2.0 * kinetic_energy(state),
+            dt=dt, ndof=ndof, p_ext=p_ext, w_b=w,
+        )
+        return aux._replace(baro_v=bv)
 
     def v_press_half(state, aux):
-        alpha = jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * aux.baro_v)
+        alpha = mtk_iso_vscale(aux.baro_v, dt, ndof)
         return dataclasses.replace(state, velocities=state.velocities * alpha)
 
     # opening half: thermostats, barostat force, barostat-velocity coupling
@@ -272,16 +273,11 @@ def npt_step(
     state = v_press_half(state, aux)
     state = _half_kick(state, dt)
 
-    # drift with cell scaling: r' = r e^{x} + dt v e^{x/2} sinh(x/2)/(x/2),
-    # x = dt*eps_dot (the exact MTK position map, series-expanded)
-    x = dt * aux.baro_v
-    s = jnp.exp(x)
-    x2 = (0.5 * x) ** 2
-    sinh_ratio = 1.0 + x2 / 6.0 + x2**2 / 120.0
+    # drift with cell scaling: the exact MTK position map (mtk_iso_maps)
+    s, d = mtk_iso_maps(aux.baro_v, dt)
     state = dataclasses.replace(
         state,
-        positions=state.positions * s
-        + dt * state.velocities * jnp.exp(0.5 * x) * sinh_ratio,
+        positions=state.positions * s + dt * state.velocities * d,
         cell=state.cell * s,
     )
 
@@ -366,6 +362,88 @@ def _voigt_to_tensor(v):
     )
 
 
+def _tensor_to_voigt(m):
+    """Symmetric (3,3) -> Voigt (xx,yy,zz,xy,xz,yz)."""
+    return jnp.asarray(
+        [m[0, 0], m[1, 1], m[2, 2], m[0, 1], m[0, 2], m[1, 2]]
+    )
+
+
+# ------------------------------------------------ shared MTK pieces --------
+# Single source of truth for the barostat math. All inputs are ALREADY
+# REDUCED scalars/tensors (KE, virial, kinetic tensor): the single-chip
+# steps pass plain sums, the sharded engines psum over the mesh first, and
+# the numerics — including every MXU-precision pin — live in exactly one
+# place. (Three hardware-only precision bugs hid in hand-synced copies of
+# this code; see PARITY.md.)
+
+
+def mtk_ke_tensor(vel, mass_col, real=None):
+    """m v v^T summed over atoms, in energy units: the kinetic part of the
+    internal pressure tensor. HIGHEST: default MXU precision rounds the f32
+    operands of this (3,N)@(N,3) reduction (~8e-5 relative,
+    scratch/probe_precision.py) and it drives the barostat every step."""
+    mv = vel * mass_col
+    if real is not None:
+        mv = jnp.where(real[:, None], mv, 0.0)
+    return units.MVV2E * jnp.matmul(
+        mv.T, vel, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def mtk_iso_omega_half(bv, *, vol, w_tr, ke2, dt, ndof, p_ext, w_b):
+    """Isotropic barostat momentum half-kick: eps_dot += dt/2 * G_eps with
+    the MTK (d/ndof)*2KE correction. `w_tr` = virial trace."""
+    p_int = (ke2 + w_tr) / (3.0 * vol)
+    g = (3.0 * vol * (p_int - p_ext) + (3.0 / ndof) * ke2) / w_b
+    return bv + 0.5 * dt * g
+
+
+def mtk_iso_vscale(bv, dt, ndof):
+    """Velocity damping factor of the iso barostat coupling half-step."""
+    return jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * bv)
+
+
+def mtk_iso_maps(bv, dt):
+    """(s, d) of the exact iso MTK position map (series-expanded sinh):
+    pos' = pos*s + dt*vel*d, cell' = cell*s."""
+    x = dt * bv
+    s = jnp.exp(x)
+    x2 = (0.5 * x) ** 2
+    sinh_ratio = 1.0 + x2 / 6.0 + x2**2 / 120.0
+    return s, jnp.exp(0.5 * x) * sinh_ratio
+
+
+def mtk_aniso_omega_half(
+    bv, *, mvv, vir6, vol, ke2, dt, ndof, p_ext, w_b, couple
+):
+    """Tensor-barostat momentum half-kick: p_g/W += dt/2 * G with
+    G = [V(P_int - p_ext I) + (2KE/ndof) I]/W. `mvv` from
+    :func:`mtk_ke_tensor`; `couple` = "tri" (all six modes) or "aniso"
+    (diagonal only)."""
+    eye = jnp.eye(3, dtype=bv.dtype)
+    p_int = (mvv + _voigt_to_tensor(vir6)) / vol
+    g = (vol * (p_int - p_ext * eye) + (ke2 / ndof) * eye) / w_b
+    g = 0.5 * (g + g.T)  # keep p_g exactly symmetric under fp roundoff
+    step = 0.5 * dt * g
+    if couple != "tri":
+        step = step * eye
+    return bv + step
+
+
+def mtk_aniso_vscale(bv, dt, ndof):
+    """Velocity-coupling matrix exp(-dt/2 (p_g/W + Tr(p_g/W)/ndof I))."""
+    eye = jnp.eye(3, dtype=bv.dtype)
+    return _sym_expm(-0.5 * dt * (bv + (jnp.trace(bv) / ndof) * eye))
+
+
+def mtk_aniso_maps(bv, dt):
+    """(E, D) of the exact aniso MTK position map (matrix series, all
+    factors commute): pos' = pos@E + dt*vel@D, cell' = cell@E."""
+    a = dt * bv
+    return _sym_expm(a), _mm3(_sym_expm(0.5 * a), _sinh_ratio_m(a))
+
+
 def npt_aniso_step(
     state: MDState,
     aux: NPTAnisoAux,
@@ -396,10 +474,6 @@ def npt_aniso_step(
     w, qb1_unit, qb2 = _npt_masses(ndof, kt, tdamp, pdamp)
     n_modes = 6 if couple == "tri" else 3
     qb1 = n_modes * qb1_unit
-    eye = jnp.eye(3, dtype=state.positions.dtype)
-
-    def couple_mask(m):
-        return m if couple == "tri" else m * eye
 
     def baro_chain_half(aux):
         ke2 = w * jnp.sum(aux.baro_v * aux.baro_v)  # Tr(p_g^2)/W
@@ -412,26 +486,18 @@ def npt_aniso_step(
         )
 
     def omega_dot_half(state, aux):
-        """p_g += dt/2 [V(P_int - p_ext I) + (2KE/ndof) I]."""
-        vol = volume_of(state)
-        # HIGHEST: default MXU precision rounds the operands (~8e-5 relative
-        # on this (3,N)@(N,3) shape, scratch/probe_precision.py) — the
-        # kinetic pressure tensor feeds the barostat every step
-        mvv = units.MVV2E * jnp.matmul(
-            (state.velocities * state.masses[:, None]).T,
-            state.velocities,
-            precision=jax.lax.Precision.HIGHEST,
+        bv = mtk_aniso_omega_half(
+            aux.baro_v,
+            mvv=mtk_ke_tensor(state.velocities, state.masses[:, None]),
+            vir6=state.virial,
+            vol=volume_of(state),
+            ke2=2.0 * kinetic_energy(state),
+            dt=dt, ndof=ndof, p_ext=p_ext, w_b=w, couple=couple,
         )
-        p_int = (mvv + _voigt_to_tensor(state.virial)) / vol
-        ke2 = 2.0 * kinetic_energy(state)
-        g = (vol * (p_int - p_ext * eye) + (ke2 / ndof) * eye) / w
-        g = 0.5 * (g + g.T)  # keep p_g exactly symmetric under fp roundoff
-        return aux._replace(baro_v=aux.baro_v + couple_mask(0.5 * dt * g))
+        return aux._replace(baro_v=bv)
 
     def v_press_half(state, aux):
-        alpha = _sym_expm(
-            -0.5 * dt * (aux.baro_v + (jnp.trace(aux.baro_v) / ndof) * eye)
-        )
+        alpha = mtk_aniso_vscale(aux.baro_v, dt, ndof)
         return dataclasses.replace(
             state, velocities=_xm3(state.velocities, alpha)
         )
@@ -444,15 +510,12 @@ def npt_aniso_step(
     state = _half_kick(state, dt)
 
     # drift with cell deformation: the matrix analog of the exact iso map
-    # r' = r E + dt v E^{1/2} f(A),  h' = h E,  E = exp(dt p_g/W)
-    a = dt * aux.baro_v
-    e_full = _sym_expm(a)
-    e_half = _sym_expm(0.5 * a)
-    f_sinh = _sinh_ratio_m(a)
+    # r' = r E + dt v D,  h' = h E (mtk_aniso_maps)
+    e_full, d_mat = mtk_aniso_maps(aux.baro_v, dt)
     state = dataclasses.replace(
         state,
         positions=_xm3(state.positions, e_full)
-        + dt * _xm3(state.velocities, _mm3(e_half, f_sinh)),
+        + dt * _xm3(state.velocities, d_mat),
         cell=_mm3(state.cell, e_full),
     )
 
