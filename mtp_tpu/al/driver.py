@@ -237,9 +237,21 @@ class ShardedExtrapolationMonitor:
     The TPU-native analog of the reference's MPI grade pipeline
     (compile_grades MPI_Allreduce + MPI_Scan global ids + rank-0 Send/Recv
     funnel into write_config, pair_mtp_extrapolation.cpp:363-479): `psum`/
-    `pmax` over the mesh inside `make_sharded_grades`, then an id-ordered
-    host gather feeds the same CfgWriter with the flush-before-break
-    contract.
+    `pmax` over the mesh, then an id-ordered host gather feeds the same
+    CfgWriter with the flush-before-break contract.
+
+    Two evaluation paths:
+
+    * **window engine** — ``evaluate(sstate, sim=sharded_sim, ctx=ctx)``
+      runs the fused candidates kernel rank-local inside the simulation's
+      existing neighbor context (``ShardedSimulation.grade_eval``): no
+      second rebuild pipeline, and the shared pass refreshes forces/energy
+      (``refresh_forces=True``). This is the reference's design point —
+      grades inside the same device pipeline as forces
+      (pair_mtp_extrapolation_kokkos.cpp:408-497).
+    * **standalone** — ``evaluate(sstate)`` builds its own halo shell +
+      neighbor list per call (`make_sharded_grades`); for grading arbitrary
+      states outside an MD run. Regrows capacity on overflow.
     """
 
     model: MTPModel
@@ -263,7 +275,6 @@ class ShardedExtrapolationMonitor:
             raise ValueError("model has no MVS selection state")
         if self.output_path is not None:
             self._writer = CfgWriter(self.output_path)
-        self._build_fn()
 
     def _build_fn(self):
         from mtp_tpu.parallel.sharded_md import make_sharded_grades
@@ -281,10 +292,31 @@ class ShardedExtrapolationMonitor:
     def mlip3_style(self) -> bool:
         return self.select_threshold is not None
 
-    def evaluate(self, sstate) -> float:
+    def evaluate(self, sstate, *, sim=None, ctx=None, refresh_forces=False):
         """Grades for a ShardedState; thresholds as in the single-chip
-        monitor. Regrows neighbor capacity on overflow (wrong grades are
-        the one unacceptable failure mode here)."""
+        monitor. With `sim`/`ctx` (a :class:`ShardedSimulation` and the ctx
+        from its last `rebuild`) the fused window path runs instead of the
+        standalone pipeline; ``refresh_forces=True`` then returns
+        ``(grade, state)`` with forces/energy refreshed from the shared
+        pass."""
+        out = self._compute(sstate, sim=sim, ctx=ctx)
+        return self._commit(out, sstate, refresh_forces=refresh_forces)
+
+    def _compute(self, sstate, sim=None, ctx=None) -> dict:
+        """PURE device half: dispatches the grade computation, touches no
+        monitor state, applies no thresholds (drivers dispatch this before
+        syncing run flags — the speculative-dispatch pattern)."""
+        if sim is not None:
+            if ctx is None:
+                raise ValueError(
+                    "window-engine evaluation needs the block ctx from "
+                    "sim.rebuild"
+                )
+            return sim.grade_eval(sstate, ctx)
+        if self._grades_fn is None:
+            self._build_fn()
+        # standalone path regrows on overflow eagerly (wrong grades are the
+        # one unacceptable failure mode here)
         while True:
             gmax, grades, flags = self._grades_fn(sstate)
             if not bool(flags):
@@ -292,14 +324,33 @@ class ShardedExtrapolationMonitor:
             self.max_neighbors = int(self.max_neighbors * 1.5) + 8
             self.halo_capacity = self.capacity  # max out the shell too
             self._build_fn()
-        g = float(gmax)
+        return dict(max_grade=gmax, grades=grades, forces=None, energy=None)
+
+    def _commit(self, out: dict, sstate, *, refresh_forces=False):
+        """Host half: store observables, apply MLIP-3 thresholds,
+        optionally return the state with forces/energy refreshed."""
+        g = float(out["max_grade"])
         self.max_grade = g
         if self.model.configuration_mode:
             self.nbh_grades = None
         else:
-            self.nbh_grades = sstate.gather(grades, self.n_atoms)
+            # gather NOW: ids/real snapshot must match the grades (both
+            # change under migration)
+            self.nbh_grades = sstate.gather(out["grades"], self.n_atoms)
         if self.mlip3_style:
             self._apply_thresholds(sstate)
+        if refresh_forces:
+            if out.get("forces") is None:
+                raise ValueError(
+                    "standalone evaluation has no force refresh; pass "
+                    "sim/ctx for the fused window path"
+                )
+            new_state = dataclasses.replace(
+                sstate,
+                forces=out["forces"],
+                potential_energy=out["energy"],
+            )
+            return g, new_state
         return g
 
     def _apply_thresholds(self, sstate):
@@ -388,6 +439,95 @@ def run_with_extrapolation(
         done += k
         _, state = monitor._commit(pending, new_state, refresh_forces=True)
         aux = new_aux
+        if observer is not None:
+            observer(state, monitor)
+    return state
+
+
+def run_sharded_with_extrapolation(
+    sim,
+    monitor: ShardedExtrapolationMonitor,
+    sstate,
+    n_steps: int,
+    *,
+    al_every: int = 1,
+    observer=None,
+    **run_kwargs,
+):
+    """Multi-chip MD with periodic grade evaluation on the window engine:
+    the sharded analog of :func:`run_with_extrapolation`.
+
+    Grade-step economics match the reference's rank-local device AL pipeline
+    (pair_mtp_extrapolation_kokkos.cpp:408-497 + the MPI collectives
+    …cpp:363-382):
+
+    * the grade evaluation REUSES the segment's last block context
+      (``ShardedSimulation.grade_eval`` — neighbor lists, halo selections
+      and window constants; no second rebuild pipeline),
+    * it SHARES its fused forward pass with the force refresh, so the next
+      segment starts from the forces the grade step computed
+      (``refresh=False`` carrying), and
+    * the grade dispatch is SPECULATIVE: it is queued before the segment's
+      flag booleans cross the tunnel; a tripped segment discards it,
+      applies the recovery policy (``ShardedSimulation._recover``), and
+      retries.
+
+    `sim.model` must carry the MVS selection state (grade_eval reads
+    ``sim.model.inverse_active_set``). Constant-cell ensembles only (the
+    shared pass refreshes forces/energy but not the virial).
+
+    Returns the final ShardedState; raises :class:`BreakThresholdExceeded`
+    in MLIP-3 style when the break threshold is hit (stream flushed first).
+    """
+    ensemble = run_kwargs.get("ensemble", "nve")
+    if ensemble not in ("nve", "nvt"):
+        raise ValueError(
+            f"run_sharded_with_extrapolation supports nve/nvt, got "
+            f"{ensemble!r} (the grade pass refreshes forces but not the "
+            "virial a barostat needs)"
+        )
+    state, ctx, f4 = sim.rebuild(sstate)
+    flags0 = jax.device_get(f4)
+    if any(bool(f) for f in flags0):
+        sim._recover((*flags0, False))
+        state, ctx, f4 = sim.rebuild(sstate)
+        if any(bool(f) for f in jax.device_get(f4)):
+            raise RuntimeError("initial sharded rebuild keeps tripping flags")
+    out = monitor._compute(state, sim=sim, ctx=ctx)
+    _, state = monitor._commit(out, state, refresh_forces=True)
+    done = 0
+    while done < n_steps:
+        k = min(al_every, n_steps - done)
+        while True:
+            prev = state
+            cur = state
+            inner = 0
+            segflags = None
+            stale_acc = None
+            while inner < k:
+                b = min(sim.steps_per_rebuild, k - inner)
+                cur, ctx, f4 = sim.rebuild(cur)
+                cur, stale = sim.steps(cur, ctx, b, refresh=False, **run_kwargs)
+                segflags = (
+                    f4
+                    if segflags is None
+                    else tuple(a | b_ for a, b_ in zip(segflags, f4))
+                )
+                stale_acc = stale if stale_acc is None else (stale_acc | stale)
+                inner += b
+            # speculative grade dispatch BEFORE the flag sync: the devices
+            # crunch the grades while the flag booleans cross the tunnel.
+            # _compute is pure (no monitor state, no cfg write, no break),
+            # so a tripped segment just discards it.
+            pending = monitor._compute(cur, sim=sim, ctx=ctx)
+            flags = jax.device_get((*segflags, stale_acc))
+            if any(bool(f) for f in flags):
+                sim._recover(flags)
+                state = prev
+                continue
+            break
+        done += k
+        _, state = monitor._commit(pending, cur, refresh_forces=True)
         if observer is not None:
             observer(state, monitor)
     return state

@@ -57,6 +57,18 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "atoms") -> Mesh
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_mesh_2d(shape: tuple, axis_names: tuple = ("bx", "by")) -> Mesh:
+    """(n0, n1) device mesh for 2-D brick decomposition (LAMMPS-brick
+    analog; lifts the 1-D slab chip cap of box_width/(cutoff+skin))."""
+    n0, n1 = shape
+    devs = jax.devices()
+    if len(devs) < n0 * n1:
+        raise RuntimeError(
+            f"need {n0 * n1} devices, have {len(devs)} ({devs[0].platform})"
+        )
+    return Mesh(np.array(devs[: n0 * n1]).reshape(n0, n1), axis_names)
+
+
 class ShardFlags(NamedTuple):
     """Replicated error/overflow flags of a sharded block (all () bool)."""
 
@@ -98,8 +110,9 @@ class ShardedState:
 
     @classmethod
     def from_partition(cls, part: SlabPartition, cell, mesh: Mesh, dtype=jnp.float32):
-        axis = mesh.axis_names[0]
-        sh = NamedSharding(mesh, P(axis))
+        # 1-D mesh: shard over the single axis; 2-D brick mesh: shard the
+        # brick-major atom axis over BOTH mesh axes
+        sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         rep = NamedSharding(mesh, P())
         put = lambda a, s: jax.device_put(jnp.asarray(a), s)
         return cls(

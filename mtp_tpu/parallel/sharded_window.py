@@ -10,7 +10,7 @@ MPI rank's local+ghost view (pair_mtp_kokkos.cpp:287-361).
 Structure (two SEPARATE dispatches — fusing a neighbor rebuild into the
 step-scan program makes the scan ~30% slower, see CLAUDE.md):
 
-* `rebuild`: migrate atoms whose slab changed -> face-shell halo selection
+* `rebuild`: migrate atoms whose shard changed -> face-shell halo selection
   -> position/type/real exchange (ring ppermute) -> bin-sorted window
   neighbor build over the halo-EXTENDED set (ghost rows get neighbor rows
   too, so the mirror/give-back machinery sees a symmetric list) ->
@@ -18,10 +18,20 @@ step-scan program makes the scan ~30% slower, see CLAUDE.md):
 * `steps`: a `lax.scan` of integrator steps (NVE / NHC-NVT / iso-MTK NPT /
   aniso+triclinic MTK NPT — the tensor-barostat reductions psum over the
   mesh like the scalar ones);
-  each force evaluation is two (H, 3) ppermutes (ghost positions in, ghost
-  force contributions out) around :func:`mtp_energy_forces_window` — the
-  window displacement kernel + fused megakernel + in-kernel Newton
-  give-back, exactly the single-chip fast path.
+  each force evaluation is two (H, 3) ppermutes per mesh axis (ghost
+  positions in, ghost force contributions out) around
+  :func:`mtp_energy_forces_window` — the window displacement kernel +
+  fused megakernel + in-kernel Newton give-back, exactly the single-chip
+  fast path.
+
+Decomposition: 1-D slabs on a 1-axis mesh, or 2-D bricks on a 2-axis mesh
+(the LAMMPS brick analog, lifting the slab chip cap of
+box_width/(cutoff+skin)). The 2-D halo runs as two stages — axis-0 face
+shells first, then axis-1 face shells of the axis-0-EXTENDED set, so corner
+ghosts ride the second hop; the force give-back reverses both hops (a
+stage-1 return may add into a stage-0 ghost row, which then forwards to the
+diagonal owner). Migration re-homes diagonal movers in two per-axis hops
+inside one rebuild.
 
 Ghost centers are masked out of the compute (`center_mask`): a ghost's
 neighborhood is incomplete (the halo is one cutoff+skin deep), so its site
@@ -103,42 +113,85 @@ class ShardedSimulation:
     grid: tuple
     skin: float = 0.5
     steps_per_rebuild: int = 10
-    halo_capacity: Optional[int] = None
+    # int: stage-0 shell capacity; tuple: per-stage; None: maximal defaults
+    # (each stage's shell is a subset of its source rows, so the defaults
+    # are always sufficient but memory-hungry on 2-D meshes)
+    halo_capacity: Optional[object] = None
     migrate_capacity: Optional[int] = None
     giveback: str | bool = "auto"
-    slab_axis: int = 0
+    slab_axis: int = 0  # cell vector of mesh axis 0
+    slab_axis2: int = 1  # cell vector of mesh axis 1 (2-D brick meshes)
     compute_virial: bool = False
 
     def __post_init__(self):
         mesh = self.mesh
-        self.axis = mesh.axis_names[0]
+        self.axes = tuple(mesh.axis_names)
+        self.sizes = tuple(mesh.devices.shape)
         self.nd = mesh.devices.size
-        C = self.capacity
-        if self.max_neighbors % 8:
-            raise ValueError("max_neighbors must be a multiple of 8")
+        if len(self.axes) == 1:
+            self.slab_axes = (self.slab_axis,)
+        elif len(self.axes) == 2:
+            # 2-D brick decomposition (LAMMPS brick analog): halo exchange
+            # runs as two stages — x-face shells first, then y-face shells
+            # of the x-EXTENDED set (corner ghosts ride the second hop, and
+            # the force give-back reverses both hops)
+            if self.slab_axis2 == self.slab_axis:
+                raise ValueError("slab_axis2 must differ from slab_axis")
+            self.slab_axes = (self.slab_axis, self.slab_axis2)
+        else:
+            raise ValueError("mesh must have 1 or 2 axes")
         if min(self.grid) < 3:
             raise ValueError(
                 f"window path needs >=3 bins per dim, grid={self.grid}; "
                 "use make_sharded_md_block for small boxes"
             )
-        self.H = (
-            self.halo_capacity
-            if self.halo_capacity is not None
-            else (C if self.nd > 1 else 0)
-        )
+        self.w_cut = self.model.cutoff + self.skin
+        self._reconfigure()
+
+    def _reconfigure(self):
+        """Re-derive capacity-dependent geometry and drop compiled programs.
+
+        Called from ``__post_init__`` and again by :meth:`run`'s recovery
+        policy after growing `max_neighbors` / `halo_capacity` /
+        `migrate_capacity` (shapes change, so every cached jitted program is
+        invalid)."""
+        C = self.capacity
+        if self.max_neighbors % 8:
+            raise ValueError("max_neighbors must be a multiple of 8")
         self.E = (
             self.migrate_capacity
             if self.migrate_capacity is not None
             else max(8, C // 8)
         )
-        self.NE = C + 2 * self.H
+        # one comm stage per mesh axis: stage k ships the face shells of
+        # the stage-(k-1)-extended set along mesh axis k
+        hc = self.halo_capacity
+        self.stages = []
+        src = C
+        for k, (ax, nk) in enumerate(zip(self.axes, self.sizes)):
+            if nk <= 1:
+                hk = 0
+            elif hc is None:
+                hk = src  # maximal: the shell is a subset of the source
+            elif isinstance(hc, tuple):
+                hk = hc[k]
+            else:
+                hk = hc if k == 0 else src
+            self.stages.append(dict(
+                axis=ax, nd=nk, H=hk, slab_axis=self.slab_axes[k],
+                base=src,
+                perm_fwd=[(i, (i + 1) % nk) for i in range(nk)],
+                perm_bwd=[(i, (i - 1) % nk) for i in range(nk)],
+            ))
+            src += 2 * hk
+        self.H = self.stages[0]["H"]
+        self.NE = src
         self.n_pad = -(-self.NE // TN) * TN
         ncells = int(np.prod(self.grid))
         # each shard's extended set is a SUBSET of the global atom set per
-        # bin (ghosts are other slabs' atoms at their original coords), so
+        # bin (ghosts are other shards' atoms at their original coords), so
         # the single-chip uniform-density cap applies; overflow is flagged
         self.bin_cap = max(1, int(np.ceil(2.2 * self.nd * C / ncells))) + 12
-        self.w_cut = self.model.cutoff + self.skin
         if self.giveback == "auto":
             # same policy as the single-chip Simulation: the in-kernel
             # give-back beats the flat mirror at every measured size once
@@ -148,45 +201,96 @@ class ShardedSimulation:
             self.gb_on = self.max_neighbors >= 64
         else:
             self.gb_on = bool(self.giveback)
-        self.perm_fwd = [(i, (i + 1) % self.nd) for i in range(self.nd)]
-        self.perm_bwd = [(i, (i - 1) % self.nd) for i in range(self.nd)]
-        self._comm = dict(
-            axis=self.axis, nd=self.nd,
-            perm_fwd=self.perm_fwd, perm_bwd=self.perm_bwd,
-        )
         self._rebuild_fn = None
         self._steps_cache = {}
+        self._grade_fn = None
+
+    # ------------------------------------------------------ comm helpers
+    # (per-stage wrappers of the sharded_md primitives; a 1-axis mesh has
+    # one stage and reduces exactly to the previous slab behavior)
+
+    def _exchange_multi(self, x, sels, fill):
+        for st, (sr, vr, sl, vl) in zip(self.stages, sels):
+            x = _exchange(
+                x, sr, vr, sl, vl, fill, H=st["H"], axis=st["axis"],
+                nd=st["nd"], perm_fwd=st["perm_fwd"], perm_bwd=st["perm_bwd"],
+            )
+        return x
+
+    def _giveback_multi(self, f_ext, sels):
+        """Reverse the halo hops: ghost-row force contributions return to
+        their owners stage by stage (a stage-1 return may add into a
+        stage-0 ghost row — the two-hop corner give-back)."""
+        for st, (sr, vr, sl, vl) in reversed(list(zip(self.stages, sels))):
+            base, h = st["base"], st["H"]
+            low = f_ext[:base]
+            if st["nd"] > 1 and h > 0:
+                back_r = jax.lax.ppermute(
+                    f_ext[base : base + h], st["axis"], st["perm_bwd"]
+                )
+                back_l = jax.lax.ppermute(
+                    f_ext[base + h : base + 2 * h], st["axis"], st["perm_fwd"]
+                )
+                low = low.at[sr].add(jnp.where(vr[:, None], back_r, 0.0))
+                low = low.at[sl].add(jnp.where(vl[:, None], back_l, 0.0))
+            f_ext = low
+        return f_ext
+
+    def _sels_from_ctx(self, ctx):
+        return [
+            (ctx[f"sel_r{k}"], ctx[f"val_r{k}"],
+             ctx[f"sel_l{k}"], ctx[f"val_l{k}"])
+            for k in range(len(self.stages))
+        ]
 
     # ------------------------------------------------------------ rebuild
 
     def _make_rebuild(self):
-        C, H, NE = self.capacity, self.H, self.NE
+        C, NE = self.capacity, self.NE
         model, grid, w_cut = self.model, self.grid, self.w_cut
         sched, coeffs = model.schedule, model.coeffs
         gb_on, bin_cap = self.gb_on, self.bin_cap
-        axis = self.axis
+        axes = self.axes
+        stages = self.stages
 
         def rebuild_shard(pos, vel, f, types, masses, real, ids, cell):
             inv_cell = jnp.linalg.inv(cell)
-            (pos, vel, f, types, masses, real, ids), (mig_ovf, escape) = (
-                _migrate(
+            mig_ovf = escape = jnp.zeros((), bool)
+            # migrate along each mesh axis in turn (a diagonal/corner mover
+            # re-homes in two hops within this one rebuild)
+            for st in stages:
+                (pos, vel, f, types, masses, real, ids), (mo, esc) = _migrate(
                     pos, vel, f, types, masses, real, ids, inv_cell,
-                    E=self.E, slab_axis=self.slab_axis, **self._comm,
+                    E=self.E, slab_axis=st["slab_axis"], axis=st["axis"],
+                    nd=st["nd"], perm_fwd=st["perm_fwd"],
+                    perm_bwd=st["perm_bwd"],
                 )
-            )
-            sel_r, val_r, sel_l, val_l, halo_ovf = _halo_select(
-                pos, real, inv_cell,
-                H=H, w_cut=w_cut, slab_axis=self.slab_axis, **self._comm,
-            )
-
-            def exch(x, fill):
-                return _exchange(
-                    x, sel_r, val_r, sel_l, val_l, fill, H=H, **self._comm
+                mig_ovf = mig_ovf | mo
+                escape = escape | esc
+            # staged halo selection: stage k selects face shells of the
+            # stage-(k-1)-extended set (corner ghosts ride stage 1)
+            sels = []
+            halo_ovf = jnp.zeros((), bool)
+            cur_pos, cur_real = pos, real
+            for st in stages:
+                kw = dict(
+                    H=st["H"], axis=st["axis"], nd=st["nd"],
+                    perm_fwd=st["perm_fwd"], perm_bwd=st["perm_bwd"],
                 )
-
-            ext_pos = exch(pos, jnp.asarray(0.0, pos.dtype))
-            ext_types = exch(types, jnp.asarray(0, types.dtype))
-            ext_real = exch(real, False)
+                sr, vr, sl, vl, ho = _halo_select(
+                    cur_pos, cur_real, inv_cell,
+                    w_cut=w_cut, slab_axis=st["slab_axis"], **kw,
+                )
+                halo_ovf = halo_ovf | ho
+                sels.append((sr, vr, sl, vl))
+                cur_pos = _exchange(
+                    cur_pos, sr, vr, sl, vl, jnp.asarray(0.0, pos.dtype), **kw
+                )
+                cur_real = _exchange(cur_real, sr, vr, sl, vl, False, **kw)
+            ext_pos, ext_real = cur_pos, cur_real
+            ext_types = self._exchange_multi(
+                types, sels, jnp.asarray(0, types.dtype)
+            )
             swl = build_sorted_neighbor_list(
                 ext_pos, cell, w_cut,
                 max_neighbors=self.max_neighbors, grid=grid,
@@ -202,34 +306,29 @@ class ShardedSimulation:
                 order=swl.order, inv_order=swl.inv_order, idx=swl.idx,
                 window_idx=swl.window_idx, wl=swl.wl,
                 wl_counts=swl.wl_counts, mirror=swl.mirror,
-                sel_r=sel_r, val_r=val_r, sel_l=sel_l, val_l=val_l,
                 **consts,
             )
+            for k, (sr, vr, sl, vl) in enumerate(sels):
+                ctx[f"sel_r{k}"] = sr
+                ctx[f"val_r{k}"] = vr
+                ctx[f"sel_l{k}"] = sl
+                ctx[f"val_l{k}"] = vl
             if gb_on:
                 for k in ("bases", "off", "ilF", "o2F", "sp_dst", "sp_src"):
                     ctx["gb_" + k] = swl.gb[k]
             flags = (
-                jax.lax.pmax(swl.overflow, axis),
-                jax.lax.pmax(halo_ovf, axis),
-                jax.lax.pmax(mig_ovf, axis),
-                jax.lax.pmax(escape, axis),
+                jax.lax.pmax(swl.overflow, axes),
+                jax.lax.pmax(halo_ovf, axes),
+                jax.lax.pmax(mig_ovf, axes),
+                jax.lax.pmax(escape, axes),
             )
             return (pos, vel, f, types, masses, real, ids), ctx, flags
 
-        axis_p = P(self.axis)
-        ctx_specs = dict(
-            order=axis_p, inv_order=axis_p, idx=axis_p, window_idx=axis_p,
-            wl=axis_p, wl_counts=axis_p, mirror=axis_p,
-            sel_r=axis_p, val_r=axis_p, sel_l=axis_p, val_l=axis_p,
-            it_row=P(None, self.axis), jtypes_t=P(None, self.axis),
-            pair_valid_t=P(None, self.axis), esp=P(None, self.axis),
-        )
-        if gb_on:
-            ctx_specs.update(
-                gb_bases=axis_p, gb_off=axis_p,
-                gb_ilF=P(None, self.axis), gb_o2F=P(None, self.axis),
-                gb_sp_dst=axis_p, gb_sp_src=axis_p,
-            )
+        axis_p = P(self.axes)
+        ctx_specs = {
+            k: (P(None, self.axes) if k in _COL_SHARDED else axis_p)
+            for k in self._ctx_keys()
+        }
         sharded = jax.shard_map(
             rebuild_shard,
             mesh=self.mesh,
@@ -263,18 +362,16 @@ class ShardedSimulation:
     def _make_steps(self, key):
         (ensemble, n_steps, dt, temperature, pressure, tdamp, pdamp,
          refresh) = key
-        C, H, NE = self.capacity, self.H, self.NE
+        C, NE = self.capacity, self.NE
         model = self.model
         sched, coeffs = model.schedule, model.coeffs
-        axis = self.axis
-        nd = self.nd
+        axes = self.axes
         gb_on = self.gb_on
         aniso = ensemble in ("npt-aniso", "npt-tri")
         couple = "tri" if ensemble == "npt-tri" else "aniso"
         cv = self.compute_virial or ensemble == "npt" or aniso
         cut_skin = self.w_cut
         skin = self.skin
-        perm_fwd, perm_bwd = self.perm_fwd, self.perm_bwd
         half = 0.5 * dt * units.FTM2A
 
         def steps_shard(pos, vel, f, masses, real, cell, thermo, pe_in, vir_in, ctx):
@@ -295,8 +392,7 @@ class ShardedSimulation:
                 reference_positions=jnp.zeros((1, 3), dtype),
                 reference_cell=cell, rev=None, aligned=None, gb=gb,
             )
-            sel_r, val_r = ctx["sel_r"], ctx["val_r"]
-            sel_l, val_l = ctx["sel_l"], ctx["val_l"]
+            sels = self._sels_from_ctx(ctx)
             consts = dict(
                 it_row=ctx["it_row"], jtypes_t=ctx["jtypes_t"],
                 pair_valid_t=ctx["pair_valid_t"], esp=ctx["esp"],
@@ -304,9 +400,7 @@ class ShardedSimulation:
             )
 
             def exch(x, fill):
-                return _exchange(
-                    x, sel_r, val_r, sel_l, val_l, fill, H=H, **self._comm
-                )
+                return self._exchange_multi(x, sels, fill)
 
             def force_eval(pos, cell, compute_energy=False):
                 # compute_energy=False in the step scan: energy is an
@@ -320,26 +414,16 @@ class ShardedSimulation:
                     compute_virial=cv, compute_energy=compute_energy,
                     **consts,
                 )
-                f_ext = out["forces"]
-                fo = f_ext[:C]
-                if nd > 1:
-                    # ghost rows hold -sum_j t_{j->ghost}: ship back to the
-                    # owner and ADD (the cross-shard Newton give-back;
-                    # LAMMPS reverse comm analog)
-                    back_r = jax.lax.ppermute(f_ext[C : C + H], axis, perm_bwd)
-                    back_l = jax.lax.ppermute(f_ext[C + H :], axis, perm_fwd)
-                    fo = fo.at[sel_r].add(
-                        jnp.where(val_r[:, None], back_r, 0.0)
-                    )
-                    fo = fo.at[sel_l].add(
-                        jnp.where(val_l[:, None], back_l, 0.0)
-                    )
-                pe = jax.lax.psum(out["energy"], axis)
-                vir = jax.lax.psum(out["virial"], axis)
+                # ghost rows hold -sum_j t_{j->ghost}: ship back to the
+                # owner stage by stage and ADD (the cross-shard Newton
+                # give-back; LAMMPS reverse comm analog)
+                fo = self._giveback_multi(out["forces"], sels)
+                pe = jax.lax.psum(out["energy"], axes)
+                vir = jax.lax.psum(out["virial"], axes)
                 return fo, pe, vir
 
             mass_col = masses[:, None]
-            n_total = jax.lax.psum(jnp.sum(real), axis)
+            n_total = jax.lax.psum(jnp.sum(real), axes)
             ndof = 3.0 * n_total
             kt = units.KB * temperature
             q1 = ndof * kt * tdamp**2
@@ -350,7 +434,6 @@ class ShardedSimulation:
             # (Voigt-6 in thermo[8:14]); n_modes thermostatted modes
             n_modes = 6 if couple == "tri" else 3
             qb1_a = n_modes * qb1
-            eye3 = jnp.eye(3, dtype=dtype)
 
             def ke2_of(vel):
                 return jax.lax.psum(
@@ -358,7 +441,7 @@ class ShardedSimulation:
                         jnp.where(real[:, None], mass_col * vel * vel, 0.0)
                     )
                     * units.MVV2E,
-                    axis,
+                    axes,
                 )
 
             def nhc_half(vel, xi, eta):
@@ -374,21 +457,17 @@ class ShardedSimulation:
                 return bv * scale, bxi, beta
 
             def omega_dot_half(vel, vir, cell, bv):
-                vol = jnp.abs(jnp.linalg.det(cell))
-                w_tr = vir[0] + vir[1] + vir[2]
-                ke2 = ke2_of(vel)
-                p_int = (ke2 + w_tr) / (3.0 * vol)
-                g = (3.0 * vol * (p_int - p_ext) + (3.0 / ndof) * ke2) / w_b
-                return bv + 0.5 * dt * g
+                return itg.mtk_iso_omega_half(
+                    bv,
+                    vol=jnp.abs(jnp.linalg.det(cell)),
+                    w_tr=vir[0] + vir[1] + vir[2],
+                    ke2=ke2_of(vel),
+                    dt=dt, ndof=ndof, p_ext=p_ext, w_b=w_b,
+                )
 
-            # ---- aniso/tri MTK pieces (tensor barostat, Voigt-6 state);
-            # the per-shard math mirrors integrators.npt_aniso_step with the
-            # two scalar reductions (KE tensor, virial) psum'd over shards
-            def _couple6(bv6):
-                if couple == "tri":
-                    return bv6
-                return bv6 * jnp.asarray([1, 1, 1, 0, 0, 0], dtype)
-
+            # ---- aniso/tri MTK pieces (tensor barostat, Voigt-6 state):
+            # the SAME mtk_* functions as integrators.npt_aniso_step with
+            # the two reductions (KE tensor, KE) psum'd over shards
             def baro_chain_half_a(bv6, bxi, beta):
                 sumsq = jnp.sum(bv6[:3] * bv6[:3]) + 2.0 * jnp.sum(
                     bv6[3:] * bv6[3:]
@@ -399,29 +478,21 @@ class ShardedSimulation:
                 return bv6 * scale, bxi, beta
 
             def omega_dot_half_a(vel, vir, cell, bv6):
-                vol = jnp.abs(jnp.linalg.det(cell))
-                mv = jnp.where(real[:, None], mass_col * vel, 0.0)
-                # HIGHEST: default MXU precision rounds the f32 operands of
-                # this (3,N)@(N,3) reduction (scratch/probe_precision.py)
-                mvv = units.MVV2E * jax.lax.psum(
-                    jnp.matmul(
-                        mv.T, vel, precision=jax.lax.Precision.HIGHEST
+                bv = itg.mtk_aniso_omega_half(
+                    itg._voigt_to_tensor(bv6),
+                    mvv=jax.lax.psum(
+                        itg.mtk_ke_tensor(vel, mass_col, real), axes
                     ),
-                    axis,
+                    vir6=vir,
+                    vol=jnp.abs(jnp.linalg.det(cell)),
+                    ke2=ke2_of(vel),
+                    dt=dt, ndof=ndof, p_ext=p_ext, w_b=w_b, couple=couple,
                 )
-                p_int = (mvv + itg._voigt_to_tensor(vir)) / vol
-                ke2 = ke2_of(vel)
-                g = (vol * (p_int - p_ext * eye3) + (ke2 / ndof) * eye3) / w_b
-                g = 0.5 * (g + g.T)
-                g6 = jnp.asarray(
-                    [g[0, 0], g[1, 1], g[2, 2], g[0, 1], g[0, 2], g[1, 2]]
-                )
-                return bv6 + _couple6(0.5 * dt * g6)
+                return itg._tensor_to_voigt(bv)
 
             def v_press_half_a(vel, bv6):
-                pg = itg._voigt_to_tensor(bv6)
-                alpha = itg._sym_expm(
-                    -0.5 * dt * (pg + (jnp.trace(pg) / ndof) * eye3)
+                alpha = itg.mtk_aniso_vscale(
+                    itg._voigt_to_tensor(bv6), dt, ndof
                 )
                 return itg._xm3(vel, alpha)
 
@@ -476,7 +547,7 @@ class ShardedSimulation:
                 if ensemble == "npt":
                     bv, bxi, beta = baro_chain_half(bv, bxi, beta)
                     bv = omega_dot_half(vel, vir, cell, bv)
-                    alpha = jnp.exp(-0.5 * dt * (1.0 + 3.0 / ndof) * bv)
+                    alpha = itg.mtk_iso_vscale(bv, dt, ndof)
                     vel = vel * alpha
                 if aniso:
                     bv6, bxi, beta = baro_chain_half_a(bv6, bxi, beta)
@@ -484,23 +555,16 @@ class ShardedSimulation:
                     vel = v_press_half_a(vel, bv6)
                 vel = vel + half * f / mass_col
                 if ensemble == "npt":
-                    # exact MTK position map (series-expanded sinh ratio)
-                    x = dt * bv
-                    s = jnp.exp(x)
-                    x2 = (0.5 * x) ** 2
-                    sinh_ratio = 1.0 + x2 / 6.0 + x2**2 / 120.0
-                    pos = pos * s + dt * vel * jnp.exp(0.5 * x) * sinh_ratio
+                    # exact MTK position map (shared mtk_iso_maps)
+                    s, d = itg.mtk_iso_maps(bv, dt)
+                    pos = pos * s + dt * vel * d
                     cell = cell * s
                 elif aniso:
-                    # matrix analog of the exact iso map (series-evaluated,
-                    # all factors commute; integrators.npt_aniso_step)
-                    a = dt * itg._voigt_to_tensor(bv6)
-                    e_full = itg._sym_expm(a)
-                    e_half = itg._sym_expm(0.5 * a)
-                    f_sinh = itg._sinh_ratio_m(a)
-                    pos = itg._xm3(pos, e_full) + dt * itg._xm3(
-                        vel, itg._mm3(e_half, f_sinh)
+                    # matrix analog of the exact iso map (mtk_aniso_maps)
+                    e_full, d_mat = itg.mtk_aniso_maps(
+                        itg._voigt_to_tensor(bv6), dt
                     )
+                    pos = itg._xm3(pos, e_full) + dt * itg._xm3(vel, d_mat)
                     cell = itg._mm3(cell, e_full)
                 else:
                     pos = pos + dt * vel
@@ -533,13 +597,13 @@ class ShardedSimulation:
             ext_pos = exch(pos, jnp.asarray(0.0, dtype))
             pe = jax.lax.psum(
                 mtp_energy_window(sched, coeffs, ext_pos, cell, swl, **consts),
-                axis,
+                axes,
             )
-            return pos, vel, f, cell, pe, vir, thermo, jax.lax.pmax(stale, axis)
+            return pos, vel, f, cell, pe, vir, thermo, jax.lax.pmax(stale, axes)
 
-        axis_p = P(self.axis)
+        axis_p = P(self.axes)
         ctx_specs = {
-            k: (P(None, self.axis) if k in _COL_SHARDED else axis_p)
+            k: (P(None, self.axes) if k in _COL_SHARDED else axis_p)
             for k in self._ctx_keys()
         }
         sharded = jax.shard_map(
@@ -559,9 +623,10 @@ class ShardedSimulation:
     def _ctx_keys(self):
         keys = [
             "order", "inv_order", "idx", "window_idx", "wl", "wl_counts",
-            "mirror", "sel_r", "val_r", "sel_l", "val_l",
-            "it_row", "jtypes_t", "pair_valid_t", "esp",
+            "mirror", "it_row", "jtypes_t", "pair_valid_t", "esp",
         ]
+        for k in range(len(self.stages)):
+            keys += [f"sel_r{k}", f"val_r{k}", f"sel_l{k}", f"val_l{k}"]
         if self.gb_on:
             keys += [
                 "gb_bases", "gb_off", "gb_ilF", "gb_o2F",
@@ -594,16 +659,159 @@ class ShardedSimulation:
         )
         return state, stale
 
+    # ---------------------------------------------------------- grade eval
+
+    def _make_grade_eval(self):
+        C, NE = self.capacity, self.NE
+        model = self.model
+        sched, coeffs = model.schedule, model.coeffs
+        inv_a = model.inverse_active_set
+        cfg_mode = model.configuration_mode
+        axes = self.axes
+        gb_on = self.gb_on
+        S = sched.species_count
+        MU = sched.radial_funcs_count
+        RB = sched.radial_basis_size
+        HI = jax.lax.Precision.HIGHEST
+
+        def grade_shard(pos, real, cell, ctx):
+            from mtp_tpu.models.mtp import (
+                _gather_rows3,
+                _gather_scalar,
+                _window_forces_from_pairs,
+                _window_geometry,
+            )
+            from mtp_tpu.ops.pallas_moments import candidates_mega
+
+            dtype = pos.dtype
+            xi_full = readout_vector(sched, coeffs, dtype)
+            gb = None
+            if gb_on:
+                gb = {
+                    k: ctx["gb_" + k]
+                    for k in ("bases", "off", "ilF", "o2F", "sp_dst", "sp_src")
+                }
+            swl = SortedNeighborList(
+                order=ctx["order"], inv_order=ctx["inv_order"],
+                idx=ctx["idx"], mirror=ctx["mirror"],
+                window_idx=ctx["window_idx"], wl=ctx["wl"],
+                wl_counts=ctx["wl_counts"],
+                overflow=jnp.zeros((), bool),
+                reference_positions=jnp.zeros((1, 3), dtype),
+                reference_cell=cell, rev=None, aligned=None, gb=gb,
+            )
+            sels = self._sels_from_ctx(ctx)
+            ext_pos = self._exchange_multi(pos, sels, jnp.asarray(0.0, dtype))
+            ext_real = self._exchange_multi(real, sels, False)
+
+            # ONE fused kernel: site energies + basis members + radial
+            # jacobian + pair forces, rank-local on the halo-extended set
+            # (the ComputeAlphaBasicRad economics,
+            # pair_mtp_extrapolation_kokkos.cpp:408-497, inside the same
+            # device pipeline as the MD forces)
+            _, dispT, maskf = _window_geometry(
+                sched, ext_pos, cell, swl, ctx["pair_valid_t"],
+                sorted_io=False,
+            )
+            out = candidates_mega(
+                sched, dispT, maskf, ctx["it_row"], ctx["jtypes_t"],
+                coeffs.radial_coeffs.astype(dtype), xi_full, ctx["esp"],
+            )
+
+            # forces with the cross-shard Newton give-back — identical to
+            # the step path's force_eval, so refreshed forces are exact
+            forces_s = _window_forces_from_pairs(out["pair_tT"], swl)
+            f_ext = _gather_rows3(forces_s, swl.inv_order)
+            fo = self._giveback_multi(f_ext, sels)
+            # ghost centers are masked (center_mask in rebuild), so site_e
+            # is nonzero on own rows only
+            pe = jax.lax.psum(jnp.sum(out["site_e"]), axes)
+
+            # candidate vectors in sorted row space, masked to OWN centers
+            n_pad = swl.idx.shape[0]
+            own_ext = (jnp.arange(NE) < C) & ext_real
+            own_s = (
+                jnp.zeros((n_pad,), bool).at[:NE].set(own_ext[swl.order])
+            )
+            rv = own_s.astype(dtype)[:, None]
+            it_onehot = jax.nn.one_hot(ctx["it_row"][0], S, dtype=dtype) * rv
+            b_rad = jnp.einsum(
+                "nt,np->ntp", it_onehot, out["rad"], precision=HI
+            ).reshape(n_pad, S * S * MU * RB)
+            b = jnp.concatenate(
+                [b_rad, it_onehot, out["basis_members"] * rv], axis=1
+            )
+
+            # grade collectives (MPI_Allreduce SUM/MAX,
+            # pair_mtp_extrapolation.cpp:363-382)
+            if cfg_mode:
+                bsum = jax.lax.psum(jnp.sum(b, axis=0), axes)
+                n_total = jax.lax.psum(jnp.sum(real), axes)
+                g = jnp.max(jnp.abs(jnp.matmul(
+                    inv_a.astype(dtype), bsum, precision=HI,
+                ))) / jnp.maximum(n_total, 1)
+                grades_own = jnp.zeros((C,), dtype)
+            else:
+                # HIGHEST: default MXU precision rounds f32 operands
+                # (0.13 abs on candidate columns — see al/grades.py)
+                grades = jnp.max(jnp.abs(jnp.matmul(
+                    b, inv_a.astype(dtype).T, precision=HI,
+                )), axis=-1)
+                grades = jnp.where(own_s, grades, 0.0)
+                grades_own = _gather_scalar(grades, swl.inv_order)[:C]
+                g = jax.lax.pmax(jnp.max(grades_own), axes)
+            return fo, pe, g, grades_own
+
+        axis_p = P(self.axes)
+        ctx_specs = {
+            k: (P(None, self.axes) if k in _COL_SHARDED else axis_p)
+            for k in self._ctx_keys()
+        }
+        sharded = jax.shard_map(
+            grade_shard,
+            mesh=self.mesh,
+            in_specs=(axis_p, axis_p, P(), ctx_specs),
+            out_specs=(axis_p, P(), P(), axis_p),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def grade_eval(self, state: ShardedState, ctx):
+        """Extrapolation grades + refreshed forces/energy as ONE dispatch,
+        reusing the block's neighbor context (`ctx` from :meth:`rebuild`) —
+        no second rebuild pipeline. The rank-local fused candidates kernel
+        runs on the halo-extended set exactly like the step path's force
+        evaluation; grades reduce with pmax/psum over the mesh.
+
+        Valid whenever the block's Verlet guarantee holds (an unflagged
+        segment provides it). Returns dict(forces (nd*C, 3) sharded, energy
+        (replicated scalar), max_grade (replicated device scalar), grades
+        ((nd*C,) sharded own-slot grades; zeros in configuration mode)).
+        """
+        if self.model.inverse_active_set is None:
+            raise ValueError(
+                "model has no MVS selection state; load a .mtp with an MVS "
+                "trailer or build one with mtp_tpu.al.maxvol.build_mvs"
+            )
+        if self._grade_fn is None:
+            self._grade_fn = self._make_grade_eval()
+        fo, pe, g, grades = self._grade_fn(
+            state.positions, state.real, state.cell, ctx
+        )
+        return dict(forces=fo, energy=pe, max_grade=g, grades=grades)
+
     # ---------------------------------------------------------------- run
 
-    def run(
+    def run_async(
         self, state: ShardedState, n_steps, *,
         ensemble="nve", dt=0.001, temperature=300.0, pressure=0.0,
         tdamp=0.1, pdamp=1.0, refresh=True,
     ):
-        """Host loop: (rebuild, steps) per Verlet block, flags accumulated
-        on device and returned as :class:`ShardedRunFlags` (check after a
-        final sync; bool(flags.any()) syncs)."""
+        """Throughput path: (rebuild, steps) per Verlet block with NO host
+        sync; flags accumulated on device and returned as
+        :class:`ShardedRunFlags` (check after a final sync;
+        ``bool(flags.any())`` syncs). A tripped run is flagged, never
+        silently wrong — use :meth:`run` for automatic recovery."""
         flags = None
         stale_any = jnp.zeros((), bool)
         done = 0
@@ -627,3 +835,81 @@ class ShardedSimulation:
         if flags is None:
             flags = (jnp.zeros((), bool),) * 4
         return state, ShardedRunFlags(*flags, stale_any)
+
+    def _recover(self, flags: tuple) -> str:
+        """Apply the recovery policy for a tripped block (the single-chip
+        `Simulation.run` contract, md/simulation.py:750-771, extended to the
+        sharded flag set). Returns a short description of the action; raises
+        when no recovery can help."""
+        nbr, halo, mig, esc, stale = (bool(f) for f in flags)
+        if nbr:
+            grown = int(self.max_neighbors * 1.5) + 8
+            self.max_neighbors = -(-grown // 8) * 8
+            self._reconfigure()
+            return f"max_neighbors -> {self.max_neighbors}"
+        if halo:
+            # maximal defaults: each stage's shell is a subset of its
+            # source rows, so halo_capacity=None always suffices
+            self.halo_capacity = None
+            self._reconfigure()
+            return f"halo_capacity -> max ({[st['H'] for st in self.stages]})"
+        if mig:
+            self.migrate_capacity = min(
+                self.capacity, 2 * self.E + 8
+            )
+            self._reconfigure()
+            return f"migrate_capacity -> {self.migrate_capacity}"
+        # escape (an atom crossed two slab boundaries in one block) and
+        # staleness both shrink with the block length
+        kind = "escape" if esc else "staleness"
+        if self.steps_per_rebuild <= 1:
+            raise RuntimeError(
+                f"{kind} at steps_per_rebuild=1: an atom moved too far in a "
+                "single step. The system is diverging, the skin is too "
+                "small, or the slabs are too thin — check dt/forces or "
+                "increase skin/capacity."
+            )
+        self.steps_per_rebuild = max(1, self.steps_per_rebuild // 2)
+        return f"steps_per_rebuild -> {self.steps_per_rebuild}"
+
+    def run(
+        self, state: ShardedState, n_steps, *,
+        ensemble="nve", dt=0.001, temperature=300.0, pressure=0.0,
+        tdamp=0.1, pdamp=1.0, refresh=True, observer=None,
+    ):
+        """Run `n_steps` with automatic recovery: one flag sync per Verlet
+        block; a tripped block is DISCARDED and retried after growing the
+        relevant capacity / halving the rebuild interval (the
+        `Simulation.run` contract; LAMMPS would error out on neighbor
+        overflow — here capacities are dynamic, so grow-and-retry replaces
+        error-and-edit-the-script). Returns (state, flags) with all-clear
+        flags; raises when recovery is impossible (diverging system at
+        steps_per_rebuild=1).
+
+        `observer(state)` runs after every committed block (host-side:
+        thermo/dumps/AL hooks)."""
+        done = 0
+        first = refresh
+        while done < n_steps:
+            k = min(self.steps_per_rebuild, n_steps - done)
+            prev = state
+            new_state, ctx, f4 = self.rebuild(state)
+            new_state, stale = self.steps(
+                new_state, ctx, k, ensemble=ensemble, dt=dt,
+                temperature=temperature, pressure=pressure, tdamp=tdamp,
+                pdamp=pdamp, refresh=first,
+            )
+            # ONE device->host transfer for all five flags (each bool() is
+            # a separate ~50 ms sync through the axon tunnel)
+            flags = jax.device_get((*f4, stale))
+            if any(bool(f) for f in flags):
+                self._recover(flags)
+                state = prev  # discard the tripped block
+                continue
+            state = new_state
+            first = False
+            done += k
+            if observer is not None:
+                observer(state)
+        zero = jnp.zeros((), bool)
+        return state, ShardedRunFlags(zero, zero, zero, zero, zero)
