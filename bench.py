@@ -103,6 +103,10 @@ def main():
                 "vs_baseline": round(
                     atom_steps_per_s / A100_NOMINAL_ATOM_STEPS_PER_S, 4
                 ),
+                # measurement protocol (changed in r3): 210-step steady-state
+                # window, best-of-2. Numbers before r3 (147k..1.81M) were
+                # one-shot/short-window — not directly comparable.
+                "protocol": "steady-state 210-step window, best-of-2",
             }
         )
     )

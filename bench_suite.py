@@ -31,6 +31,13 @@ def main():
     from mtp_tpu.models.mtp import MTPModel
     from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
 
+    # measurement protocol (changed in r3): steady-state windows sized as
+    # exact multiples of steps_per_rebuild, best-of-2 — numbers recorded
+    # before r3 used one-shot/short windows and are not comparable
+    # (BASELINE.md "Measurement protocol note")
+    _jsonline(protocol="steady-state spb-multiple windows, best-of-2",
+              since_round=3)
+
     def throughput(model, reps, n_steps=100, **run_kw):
         pos, types, cell = make_lattice("fcc", 4.0, reps, **run_kw.pop("lat", {}))
         n = len(pos)
@@ -305,6 +312,62 @@ def main():
         assert not bool(ovf)
     _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
               atom_steps_per_s=round(v, 1), overflow=bool(ovf))
+
+    # 7. distributed window engine on a 1-device TPU mesh: the driver-visible
+    # record of the sharded/single-chip ratio every round (the full
+    # migration + halo + shard_map pipeline must stay within a few % of the
+    # single-chip rate; cf. the reference's kernel pipeline unchanged under
+    # MPI decomposition, pair_mtp_kokkos.cpp:287-361)
+    from mtp_tpu.parallel.domain import partition_slabs
+    from mtp_tpu.parallel.sharded_md import ShardedState, make_mesh
+    from mtp_tpu.parallel.sharded_window import ShardedSimulation
+
+    def sharded_throughput(reps, n_steps, spb, key):
+        pos, types, cell = make_lattice("fcc", 4.0, reps)
+        n = len(pos)
+        masses = np.full(n, 58.693)
+        state = thermalize(
+            jax.random.PRNGKey(key),
+            init_state(pos, types, masses, cell, dtype=jnp.float32),
+            300.0,
+        )
+        mesh = make_mesh(1)
+        part = partition_slabs(
+            np.asarray(state.positions), np.asarray(state.velocities),
+            types, masses, cell, 1, cutoff=model16.cutoff + 0.6,
+            capacity=int(np.ceil((n * 1.05 + 16) / 256) * 256),
+        )
+        sstate = ShardedState.from_partition(part, cell, mesh, dtype=jnp.float32)
+        grid = grid_shape(cell, model16.cutoff + 0.6)
+        eq = ShardedSimulation(
+            model16, mesh, capacity=part.capacity, max_neighbors=64,
+            skin=0.6, steps_per_rebuild=10, grid=grid,
+        )
+        sstate, flags = eq.run_async(sstate, 60, ensemble="nve", dt=0.001)
+        float(jnp.sum(sstate.positions))
+        assert not bool(flags.any()), flags
+        sim = ShardedSimulation(
+            model16, mesh, capacity=part.capacity, max_neighbors=64,
+            skin=0.6, steps_per_rebuild=spb, grid=grid,
+        )
+        sstate, flags = sim.run_async(sstate, n_steps, ensemble="nve", dt=0.001)
+        float(jnp.sum(sstate.positions))
+        assert not bool(flags.any()), flags
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sstate, flags = sim.run_async(sstate, n_steps, ensemble="nve", dt=0.001)
+            float(jnp.sum(sstate.positions))
+            best = max(best, n * n_steps / (time.perf_counter() - t0))
+            assert not bool(flags.any()), flags
+        return n, best
+
+    n, v = sharded_throughput((20, 20, 20), 210, 30, key=6)
+    _jsonline(config="32k sharded window engine (1-device mesh)", atoms=n,
+              atom_steps_per_s=round(v, 1))
+    n, v = sharded_throughput((40, 40, 25), 90, 30, key=7)
+    _jsonline(config="160k sharded window engine (1-device mesh)", atoms=n,
+              atom_steps_per_s=round(v, 1))
 
 
 if __name__ == "__main__":

@@ -48,18 +48,18 @@ eq = ShardedSimulation(
     model, mesh, capacity=part.capacity, max_neighbors=64,
     skin=SKIN, steps_per_rebuild=10, grid=grid,
 )
-sstate, flags = eq.run(sstate, 60, ensemble="nve", dt=0.001)
+sstate, flags = eq.run_async(sstate, 60, ensemble="nve", dt=0.001)
 float(jnp.sum(sstate.positions))
 assert not bool(flags.any()), flags
 
 n_steps = 200
-sstate, flags = sim.run(sstate, n_steps, ensemble="nve", dt=0.001)
+sstate, flags = sim.run_async(sstate, n_steps, ensemble="nve", dt=0.001)
 float(jnp.sum(sstate.positions))
 assert not bool(flags.any()), flags
 best = 0.0
 for _ in range(3):
     t0 = time.perf_counter()
-    sstate, flags = sim.run(sstate, n_steps, ensemble="nve", dt=0.001)
+    sstate, flags = sim.run_async(sstate, n_steps, ensemble="nve", dt=0.001)
     float(jnp.sum(sstate.positions))
     best = max(best, n * n_steps / (time.perf_counter() - t0))
     assert not bool(flags.any()), flags

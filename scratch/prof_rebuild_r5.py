@@ -124,7 +124,10 @@ prev = 0.0
 for k, name in enumerate(NAMES):
     f = _prefix(k)
     out = f(positions, cell)  # compile
-    jax.block_until_ready(out)
+    # force a VALUE, not just block_until_ready: through the axon tunnel
+    # block_until_ready can return before execution completes, and the
+    # first timed rep would absorb the residual execution (CLAUDE.md)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
