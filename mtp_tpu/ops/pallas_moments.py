@@ -285,6 +285,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _bwd_precision():
+    """MXU precision of the BACKWARD kernel's DAG dots. Default (None) keeps
+    the fast path: its dot-precision error measured < 3e-7 eV/A against the
+    fp32-math floor of ~1.4e-5 (PARITY.md frontier), so HIGHEST buys ~2x
+    accuracy at ~3x the backward's MXU passes. MTP_PRECISE_FORCES=1 opts in
+    (read at trace time)."""
+    import os
+
+    if os.environ.get("MTP_PRECISE_FORCES", "0") == "1":
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def _fwd(sched, dispT, mask, itypes, jtypes_t, radial_coeffs):
     tables = _prep(sched)
     B_pad = tables[-1]
@@ -468,14 +481,18 @@ def _mega_bwd_kernel(
     # forward moments (recompute; cheaper than spilling to HBM)
     rows = [jnp.sum(fw[mu] * U[(ax, ay, az)], axis=0) for mu, ax, ay, az in basic]
     tn = rows[0].shape[0]
-    m, resid = _dag_tile(mat_refs, M_pad, rows, tn, rows[0].dtype)
+    prec = _bwd_precision()
+    m, resid = _dag_tile(mat_refs, M_pad, rows, tn, rows[0].dtype, precision=prec)
 
     # DAG reverse: dm starts at the readout row, pulled back wave by wave
     dm = xi_ref[:].T * de_ref[:]  # (M_pad, 1) * (1, TN) -> (M_pad, TN)
     for (w0_ref, a1_ref, s3_ref), (p0, p1) in zip(reversed(mat_refs), reversed(resid)):
-        dc = jnp.dot(s3_ref[:].T, dm, preferred_element_type=dm.dtype)
-        dm = dm + jnp.dot(w0_ref[:].T, dc * p1, preferred_element_type=dm.dtype)
-        dm = dm + jnp.dot(a1_ref[:].T, dc * p0, preferred_element_type=dm.dtype)
+        dc = jnp.dot(s3_ref[:].T, dm, preferred_element_type=dm.dtype,
+                     precision=prec)
+        dm = dm + jnp.dot(w0_ref[:].T, dc * p1, preferred_element_type=dm.dtype,
+                          precision=prec)
+        dm = dm + jnp.dot(a1_ref[:].T, dc * p0, preferred_element_type=dm.dtype,
+                          precision=prec)
 
     # pair forces from gamma = dm[:B] (same math as _bwd_kernel)
     P, Dx, Dy, Dz, _ = _pair_force_terms(

@@ -75,8 +75,13 @@ def run_oracle():
     print(f"oracle: N={len(pos)} E={float(out['energy']):.10f} eV", file=sys.stderr)
 
 
-def run_fp32():
+def run_fp32(force_cpu=False):
     import jax
+
+    if force_cpu:
+        # the env var alone is not enough when a sitecustomize already
+        # registered the TPU backend; the config update is authoritative
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
@@ -176,4 +181,7 @@ if __name__ == "__main__":
             [sys.executable, os.path.abspath(__file__), "--oracle"], env=env
         )
         assert r.returncode == 0, "oracle subprocess failed"
-    run_fp32()
+    # --fp32-cpu: measure the plain-f32-math floor (XLA CPU path, no TPU
+    # kernels/MXU) — separates fundamental fp32 rounding from TPU-specific
+    # error in the frontier analysis (PARITY.md)
+    run_fp32(force_cpu="--fp32-cpu" in sys.argv)
