@@ -483,10 +483,22 @@ class Simulation:
                     axis=-1,
                 )
                 d = state.positions - scaled_ref
-                max_d = jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+                d2 = jnp.sum(d * d, axis=-1)
+                # exact pair criterion: a missing pair (i, j) enters the
+                # cutoff only if d_i + d_j >= skin for DISTINCT atoms, so
+                # the bound is max1 + max2 (two largest), not 2*max1 —
+                # the flag trips on the extreme-value TAIL over N atoms,
+                # and the second max sits measurably below the first
+                m1 = jnp.max(d2)
+                m2 = jnp.max(
+                    jnp.where(jnp.arange(d2.shape[0]) == jnp.argmax(d2), 0.0, d2)
+                )
                 widths = 1.0 / jnp.linalg.norm(jnp.linalg.inv(state.cell), axis=1)
                 s_min = jnp.min(widths / ref_widths)
-                budget = 2.0 * max_d + jnp.maximum(0.0, 1.0 - s_min) * cut_skin
+                budget = (
+                    jnp.sqrt(m1) + jnp.sqrt(m2)
+                    + jnp.maximum(0.0, 1.0 - s_min) * cut_skin
+                )
                 stale = stale | (budget > self.skin)
             out = (
                 state.positions,

@@ -201,12 +201,6 @@ def build_neighbor_list(
     table = table.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(
         order.astype(jnp.int32)
     )
-    # positions arranged in bin-table layout: candidate coordinates are then
-    # fetched as whole bins (chunky row gathers) instead of 27*cap scattered
-    # element gathers per atom — the difference between ~1 and ~100 ms/build
-    ptab = jnp.zeros((nbins, cap, 3), positions.dtype)
-    ptab = ptab.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(positions[order])
-
     nc = n if centers is None else centers
 
     # candidate bins: 3x3x3 stencil around each atom's bin (with wrap).
@@ -223,22 +217,64 @@ def build_neighbor_list(
     if use_fat:
         def fatten(t):
             c = t.shape[1]
-            s = t.shape[2:]  # () for the id table, (3,) for positions
-            tz = t.reshape(gx * gy, gz, c, *s)
+            tz = t.reshape(gx * gy, gz, c)
             t3 = jnp.concatenate(
                 [jnp.roll(tz, 1, axis=1), tz, jnp.roll(tz, -1, axis=1)],
                 axis=2,
             )
-            t3 = t3.reshape(gx, gy, gz, 3 * c, *s)
+            t3 = t3.reshape(gx, gy, gz, 3 * c)
             t9 = jnp.concatenate(
                 [jnp.roll(t3, 1, axis=1), t3, jnp.roll(t3, -1, axis=1)],
                 axis=3,
             )
-            return t9.reshape(ncells, 9 * c, *s)
+            return t9.reshape(ncells, 9 * c)
 
-        table9 = fatten(table[:ncells])
-        ptab9 = fatten(ptab[:ncells])
+        # Compact the fat rows: each bin's 9-bin (y, z) neighborhood carries
+        # 9x the per-bin cap of padding, but its TRUE occupancy concentrates
+        # to ~9x the mean (the commensurate-clustering worst case measured
+        # max9 = 122 vs mean9 = 99 at every bench config — clustering in one
+        # bin is compensated by its neighbors). A single-operand ascending
+        # row sort (invalid -> INT_MAX) moves the valid ids to the front
+        # (~6 ms at 1M), and the compacted width W2 halves every downstream
+        # per-atom cost: candidate gather, d2 filter and the top_k compaction
+        # (the three dominant cell-build stages, 546 -> ~340 ms at 1M).
+        # True 9-bin occupancy > W2 raises the overflow flag.
+        big = jnp.int32(2**31 - 1)
+        table9_raw = fatten(table[:ncells])
+        mean_bin = n / ncells
+        W2 = int(min(9 * cap, -(-int(np.ceil(9 * mean_bin * 1.45 + 24)) // 8) * 8))
+        if W2 < 9 * cap:
+            tablec = jax.lax.sort(
+                jnp.where(table9_raw >= 0, table9_raw, big), dimension=1
+            )[:, :W2]
+            validc = tablec != big
+            table9 = jnp.where(validc, tablec, -1)
+            # exact 9-bin occupancy from the per-bin counts (periodic rolls)
+            cz = counts[:ncells].reshape(gx * gy, gz)
+            c3 = jnp.roll(cz, 1, axis=1) + cz + jnp.roll(cz, -1, axis=1)
+            c3 = c3.reshape(gx, gy, gz)
+            c9 = jnp.roll(c3, 1, axis=1) + c3 + jnp.roll(c3, -1, axis=1)
+            cell_overflow = cell_overflow | (jnp.max(c9) > W2)
+        else:
+            table9 = table9_raw
+            validc = table9 >= 0
+        # positions in fat-row layout by GATHER over the compacted ids
+        # (8-lane-padded rows: 3-float rows gather ~10x slower, CLAUDE.md);
+        # replaces the ptab9 roll-concat of the uncompacted (ncells, 9cap, 3)
+        p8 = jnp.pad(positions, ((0, 0), (0, 5)))
+        ptab9 = (
+            p8[jnp.where(validc, table9, 0).reshape(-1)]
+            .reshape(ncells, table9.shape[1], 8)[..., :3]
+        )
         stencil_x = np.asarray(offs(gx), dtype=np.int32)  # (Kx,)
+    else:
+        # positions arranged in bin-table layout: candidate coordinates are
+        # then fetched as whole bins (chunky row gathers) instead of K*cap
+        # scattered element gathers per atom — ~1 vs ~100 ms/build
+        ptab = jnp.zeros((nbins, cap, 3), positions.dtype)
+        ptab = ptab.at[sorted_bin, jnp.clip(rank, 0, cap - 1)].set(
+            positions[order]
+        )
 
     stencil = np.array(
         [(ox, oy, oz) for ox in offs(gx) for oy in offs(gy) for oz in offs(gz)],
@@ -246,7 +282,9 @@ def build_neighbor_list(
     )  # (K, 3)
 
     # the candidate width and atom count bound the packed-key trick below
-    w_cand = len(stencil) * cap
+    w_cand = (
+        len(stencil_x) * table9.shape[1] if use_fat else len(stencil) * cap
+    )
     can_pack = n < 2**20 and w_cand < 2**11
 
     def row_phase(args):
@@ -302,18 +340,26 @@ def build_neighbor_list(
         # bits when it fits (n < 2^20, W < 2^11) — the take_along_axis it
         # replaces is a (rows x J) scalar gather, ~1 s at 1M rows on v5e.
         w = keep.shape[1]
+        # compacted fat rows can be narrower than J (sparse systems with a
+        # wide max_neighbors): clamp k and self-pad the missing columns
+        k = min(max_neighbors, w)
         col = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
         if can_pack:
             packed = jnp.where(keep, ((w - col) << 20) | cand_safe, 0)
-            vals, _ = jax.lax.top_k(packed, max_neighbors)
+            vals, _ = jax.lax.top_k(packed, k)
             row_keep = vals > 0
             row_idx = vals & ((1 << 20) - 1)
         else:
             score = jnp.where(keep, w - col, 0)
-            vals, take = jax.lax.top_k(score, max_neighbors)
+            vals, take = jax.lax.top_k(score, k)
             row_keep = vals > 0
             row_idx = jnp.take_along_axis(cand_safe, take, axis=1)
         idx = jnp.where(row_keep, row_idx, crow[:, None])
+        if k < max_neighbors:
+            idx = jnp.concatenate(
+                [idx, jnp.broadcast_to(crow[:, None], (b, max_neighbors - k))],
+                axis=1,
+            )
         return idx.astype(jnp.int32), jnp.max(jnp.sum(keep, axis=1))
 
     crow_all = jnp.arange(nc, dtype=jnp.int32)

@@ -523,10 +523,25 @@ class ShardedSimulation:
                 )
                 d = pos - scaled_ref
                 d2 = jnp.where(real, jnp.sum(d * d, axis=-1), 0.0)
-                max_d = jnp.sqrt(jnp.max(d2))
+                # exact pair criterion (max1 + max2 over distinct atoms, as
+                # in the single-chip scan), with the top-2 combined across
+                # shards: the global second max is the pmax of each shard's
+                # runner-up candidate, or max1 itself if two shards tie at
+                # the global max
+                m1 = jnp.max(d2)
+                m2 = jnp.max(
+                    jnp.where(jnp.arange(d2.shape[0]) == jnp.argmax(d2), 0.0, d2)
+                )
+                g1 = jax.lax.pmax(m1, axes)
+                ties = jax.lax.psum((m1 == g1).astype(jnp.int32), axes)
+                cand = jnp.where(m1 == g1, m2, m1)
+                g2 = jnp.where(ties > 1, g1, jax.lax.pmax(cand, axes))
                 widths = 1.0 / jnp.linalg.norm(jnp.linalg.inv(cell), axis=1)
                 s_min = jnp.min(widths / ref_widths)
-                budget = 2.0 * max_d + jnp.maximum(0.0, 1.0 - s_min) * cut_skin
+                budget = (
+                    jnp.sqrt(g1) + jnp.sqrt(g2)
+                    + jnp.maximum(0.0, 1.0 - s_min) * cut_skin
+                )
                 return stale | (budget > skin)
 
             if refresh:

@@ -113,3 +113,33 @@ def test_mirror_permutation_large_n():
     dst = idx.reshape(-1).astype(np.int64)
     # mirrored pair of flat p=(i->j) must be (j->i)
     assert (src[mirror] == dst).all() and (dst[mirror] == src).all()
+
+
+def test_fat_row_compaction_parity_and_overflow(rng):
+    """The compacted fat-row path (W2 < 9*cap) must match brute force at
+    uniform density, and flag when a cluster's true 9-bin occupancy
+    exceeds the compacted width instead of silently dropping neighbors."""
+    L = 24.0
+    cell = np.diag([L, L, L])
+    g = grid_shape(cell, 4.0)
+
+    pos = rng.uniform(0, L, (800, 3))
+    nl = build_neighbor_list(
+        jnp.asarray(pos), jnp.asarray(cell), 4.0, max_neighbors=96, grid=g
+    )
+    bf = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), jnp.asarray(cell), 4.0, max_neighbors=96
+    )
+    assert not bool(nl.overflow)
+    assert neighbor_sets(nl.idx) == neighbor_sets(bf.idx)
+
+    # 300 atoms crammed into a 4 A ball: 9-bin occupancy >> W2. J wider
+    # than the compacted candidate width also exercises the self-pad fill.
+    clustered = np.concatenate(
+        [rng.uniform(9, 13, (300, 3)), rng.uniform(0, L, (60, 3))]
+    )
+    nl2 = build_neighbor_list(
+        jnp.asarray(clustered), jnp.asarray(cell), 4.0,
+        max_neighbors=320, grid=g,
+    )
+    assert bool(nl2.overflow)
