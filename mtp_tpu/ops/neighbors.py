@@ -241,7 +241,15 @@ def build_neighbor_list(
         # True 9-bin occupancy > W2 raises the overflow flag.
         big = jnp.int32(2**31 - 1)
         table9_raw = fatten(table[:ncells])
-        mean_bin = n / ncells
+        if bin_capacity is None:
+            mean_bin = n / ncells  # full-box single-chip build: exact
+        else:
+            # concentrated-occupancy callers (halo-extended shard sets)
+            # populate only ~1/nd of this grid, so n/ncells underestimates
+            # the OCCUPIED-region density by the shard count. Their
+            # bin_capacity encodes that density — invert the weakest caller
+            # formula (cap >= 2.2*mean + 8) for a safe estimate.
+            mean_bin = (bin_capacity - 8) / 2.2
         W2 = int(min(9 * cap, -(-int(np.ceil(9 * mean_bin * 1.45 + 24)) // 8) * 8))
         if W2 < 9 * cap:
             tablec = jax.lax.sort(

@@ -143,3 +143,44 @@ def test_fat_row_compaction_parity_and_overflow(rng):
         max_neighbors=320, grid=g,
     )
     assert bool(nl2.overflow)
+
+
+def test_fat_row_compaction_concentrated_occupancy(rng):
+    """Halo-extended shard sets populate only a slice of the full-box grid:
+    the compacted width must be sized from the OCCUPIED-region density
+    (encoded by bin_capacity), not the global n/ncells mean — otherwise a
+    dense slice in a mostly-empty grid permanently trips the overflow flag."""
+    L = 40.0
+    cell = np.diag([L, L, L])
+    cutoff = 4.0
+    g = grid_shape(cell, cutoff)  # 10^3 bins, most of them empty
+
+    # 900 atoms confined to a 2-bin-thick slab (x in [0, 8)): the occupied
+    # bins hold ~4.5 atoms each while n/ncells says 0.9 — a global-mean W2
+    # sits decisively below the true 9-bin occupancy (~60)
+    pos = np.concatenate(
+        [rng.uniform(0, 8.0, (900, 1)), rng.uniform(0, L, (900, 2))], axis=1
+    )
+    n_real = 900
+    n_pad = 960  # padded capacity rows, parked at a fill position
+    pos_ext = np.concatenate([pos, np.full((n_pad - n_real, 3), 1.0)])
+    real = np.arange(n_pad) < n_real
+
+    # the caller-formula capacity for the occupied density (as the sharded
+    # engines compute it: 2.2 * global mean + 12 over the occupied region)
+    occupied_mean = n_real / (2 * 10 * 10)  # atoms per occupied bin
+    bin_cap = max(1, int(np.ceil(2.2 * occupied_mean))) + 12
+
+    nl = build_neighbor_list(
+        jnp.asarray(pos_ext), jnp.asarray(cell), cutoff,
+        max_neighbors=64, grid=g, real=jnp.asarray(real),
+        bin_capacity=bin_cap,
+    )
+    assert not bool(nl.overflow)
+
+    bf = build_neighbor_list_bruteforce(
+        jnp.asarray(pos), jnp.asarray(cell), cutoff, max_neighbors=64
+    )
+    got = neighbor_sets(nl.idx[:n_real])
+    want = neighbor_sets(bf.idx)
+    assert got == want
