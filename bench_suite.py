@@ -296,19 +296,23 @@ def main():
     # trips the (correctly working) staleness flag. spb=25 for margin.
     state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
-    sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=25,
+    # spb=30: the r4 sweep (scratch/sweep_1m_spb.py) measured 3.86M clean
+    # at 30 (0/4 stale) vs 3.65M at 25; spb=40 is 4.13M but trips the
+    # (exact top-2) staleness flag 4/4 at skin=0.6 — the 1M extreme-value
+    # displacement tail is the binding constraint, and skin > 0.6 overflows
+    # J=64 (CLAUDE.md).
+    sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
                      compute_virial=False, giveback=True)
-    state, _, ovf = sim.run_async(state, 25, ensemble="nve", dt=0.001)
+    state, _, ovf = sim.run_async(state, 30, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions)); assert not bool(ovf)
-    # 75 = 3 x steps_per_rebuild: rebuilds at the exact steady-state 1/25
-    # rate (the old 40-step window paid 2 rebuilds = 1/20 plus a 15-step
-    # tail block's extra compile). Best-of-2 for tunnel dispatch jitter.
+    # 90 = 3 x steps_per_rebuild: rebuilds at the exact steady-state 1/30
+    # rate. Best-of-2 for tunnel dispatch jitter.
     v = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        state, _, ovf = sim.run_async(state, 75, ensemble="nve", dt=0.001)
+        state, _, ovf = sim.run_async(state, 90, ensemble="nve", dt=0.001)
         float(jnp.sum(state.positions))
-        v = max(v, n * 75 / (time.perf_counter() - t0))
+        v = max(v, n * 90 / (time.perf_counter() - t0))
         assert not bool(ovf)
     _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
               atom_steps_per_s=round(v, 1), overflow=bool(ovf))

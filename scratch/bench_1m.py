@@ -27,16 +27,16 @@ eq = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=10,
                 compute_virial=False, giveback=True)
 state, _, ovf = eq.run_async(state, 60, ensemble="nve", dt=0.001)
 float(jnp.sum(state.positions)); assert not bool(ovf)
-sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=25,
+sim = Simulation(model16, max_neighbors=64, skin=0.6, steps_per_rebuild=30,
                  compute_virial=False, giveback=True)
-state, _, ovf = sim.run_async(state, 25, ensemble="nve", dt=0.001)
+state, _, ovf = sim.run_async(state, 30, ensemble="nve", dt=0.001)
 float(jnp.sum(state.positions)); assert not bool(ovf)
 best = 0.0
 for _ in range(2):
     t0 = time.perf_counter()
-    state, _, ovf = sim.run_async(state, 40, ensemble="nve", dt=0.001)
+    state, _, ovf = sim.run_async(state, 90, ensemble="nve", dt=0.001)
     float(jnp.sum(state.positions))
-    v = n * 40 / (time.perf_counter() - t0)
+    v = n * 90 / (time.perf_counter() - t0)
     print(f"1M NVE: {v:,.0f} atom-steps/s (overflow={bool(ovf)})")
     assert not bool(ovf)
     best = max(best, v)
