@@ -265,8 +265,16 @@ class ShardedExtrapolationMonitor:
     break_threshold: Optional[float] = None
     output_path: Optional[str] = None
 
-    max_grade: float = 0.0
-    nbh_grades: Optional[np.ndarray] = None
+    # device-side observables, materialized lazily on access (same contract
+    # and rationale as ExtrapolationMonitor above: stale-between-evals is
+    # the LAMMPS semantics, and an eager sync + host gather per eval is
+    # exactly the per-eval cost the fused window path avoids). The gather
+    # snapshot stays consistent because the pending tuple holds the
+    # ShardedState REFERENCE from evaluation time — JAX arrays are
+    # immutable, so later migration produces a new state object and cannot
+    # disturb the snapshot's ids/real/grades pairing.
+    _max_grade_dev: object = 0.0
+    _nbh_pending: object = None  # (grades_dev, sstate) | np.ndarray | None
     _writer: Optional[CfgWriter] = None
     _grades_fn: object = None
 
@@ -275,6 +283,27 @@ class ShardedExtrapolationMonitor:
             raise ValueError("model has no MVS selection state")
         if self.output_path is not None:
             self._writer = CfgWriter(self.output_path)
+
+    @property
+    def max_grade(self) -> float:
+        if not isinstance(self._max_grade_dev, float):
+            self._max_grade_dev = float(self._max_grade_dev)
+        return self._max_grade_dev
+
+    @max_grade.setter
+    def max_grade(self, v):
+        self._max_grade_dev = v
+
+    @property
+    def nbh_grades(self) -> Optional[np.ndarray]:
+        if isinstance(self._nbh_pending, tuple):
+            grades, snap = self._nbh_pending
+            self._nbh_pending = snap.gather(grades, self.n_atoms)
+        return self._nbh_pending
+
+    @nbh_grades.setter
+    def nbh_grades(self, v):
+        self._nbh_pending = v
 
     def _build_fn(self):
         from mtp_tpu.parallel.sharded_md import make_sharded_grades
@@ -328,16 +357,21 @@ class ShardedExtrapolationMonitor:
 
     def _commit(self, out: dict, sstate, *, refresh_forces=False):
         """Host half: store observables, apply MLIP-3 thresholds,
-        optionally return the state with forces/energy refreshed."""
-        g = float(out["max_grade"])
+        optionally return the state with forces/energy refreshed.
+
+        Observables stay on device (lazy properties) unless thresholds are
+        set — MLIP-3 style needs the value for the select/break decision;
+        plain monitoring (no thresholds) pays no sync and no host gather.
+        The pending snapshot pins THIS sstate so a later migration cannot
+        desynchronize ids/real from the grades."""
+        g = out["max_grade"]
         self.max_grade = g
         if self.model.configuration_mode:
             self.nbh_grades = None
         else:
-            # gather NOW: ids/real snapshot must match the grades (both
-            # change under migration)
-            self.nbh_grades = sstate.gather(out["grades"], self.n_atoms)
+            self.nbh_grades = (out["grades"], sstate)
         if self.mlip3_style:
+            g = self.max_grade  # eager sync: thresholds need the value
             self._apply_thresholds(sstate)
         if refresh_forces:
             if out.get("forces") is None:

@@ -760,6 +760,18 @@ class Simulation:
                 refresh=refresh,
             )
             if bool(overflow):
+                if self.max_neighbors >= 1024:
+                    # ~7 doublings have not cleared the flag: the overflow
+                    # is not list-width capacity (bin density vs the bin
+                    # table / compacted fat-row width, geometry, or a
+                    # collapsing system) — growing J forever just recompiles
+                    # with ever-larger shapes
+                    raise RuntimeError(
+                        "neighbor overflow persists at max_neighbors="
+                        f"{self.max_neighbors}: not a list-width problem. "
+                        "Check bin_capacity vs the local density, the grid "
+                        "geometry, and the system for collapse/overlap."
+                    )
                 # discard the block and retry with more capacity (kept a
                 # multiple of 8 for the kernel slot groups)
                 grown = int(self.max_neighbors * 1.5) + 8

@@ -241,16 +241,17 @@ def build_neighbor_list(
         # True 9-bin occupancy > W2 raises the overflow flag.
         big = jnp.int32(2**31 - 1)
         table9_raw = fatten(table[:ncells])
-        if bin_capacity is None:
-            mean_bin = n / ncells  # full-box single-chip build: exact
-        else:
-            # concentrated-occupancy callers (halo-extended shard sets)
-            # populate only ~1/nd of this grid, so n/ncells underestimates
-            # the OCCUPIED-region density by the shard count. Their
-            # bin_capacity encodes that density — invert the weakest caller
-            # formula (cap >= 2.2*mean + 8) for a safe estimate.
-            mean_bin = (bin_capacity - 8) / 2.2
-        W2 = int(min(9 * cap, -(-int(np.ceil(9 * mean_bin * 1.45 + 24)) // 8) * 8))
+        # Width contract: `cap` bounds the occupied-region mean occupancy
+        # via cap >= 2.2*mean_occ + 8 — true for the uniform default above
+        # (2.2*mean + 12) and for every concentrated-occupancy caller
+        # (halo-extended shard sets populate ~1/nd of this grid, so
+        # n/ncells would undersize W2 by the shard count; their
+        # bin_capacity formulas encode the occupied density instead). The
+        # cap-implied bound also covers moderate single-chip inhomogeneity
+        # (vacuum slabs/surfaces): by the time a local density exceeds it,
+        # the per-bin table overflows first and raises the same flag.
+        mean_est = (cap - 8) / 2.2
+        W2 = int(min(9 * cap, -(-int(np.ceil(9 * mean_est * 1.45 + 24)) // 8) * 8))
         if W2 < 9 * cap:
             tablec = jax.lax.sort(
                 jnp.where(table9_raw >= 0, table9_raw, big), dimension=1

@@ -54,23 +54,36 @@ def gather_md_state(sstate: ShardedState, n_atoms: int, step: int = 0) -> MDStat
 
     Valid after migration (ids travel with the atoms). The result feeds any
     single-chip consumer: ThermoLogger, XYZDumpWriter, save_checkpoint, or
-    a single-chip Simulation (engine hand-off)."""
-    pos = sstate.gather(np.asarray(sstate.positions), n_atoms)
+    a single-chip Simulation (engine hand-off).
+
+    All arrays come down in ONE batched `jax.device_get` (each separate
+    fetch is a full round trip — per-field `ShardedState.gather` calls
+    would re-fetch ids/real six times and cost ~18 transfers per frame,
+    which dominates the per-block observer path on remote platforms)."""
+    import jax
+
+    ids, real, pos, vel, frc, mas, typ, cell, pe, vir = jax.device_get((
+        sstate.ids, sstate.real, sstate.positions, sstate.velocities,
+        sstate.forces, sstate.masses, sstate.types, sstate.cell,
+        sstate.potential_energy, sstate.virial,
+    ))
+    m = (ids >= 0) & real
+    own = ids[m]
+
+    def order(arr):
+        out = np.zeros((n_atoms,) + arr.shape[1:], arr.dtype)
+        out[own] = arr[m]
+        return out
+
     dtype = pos.dtype
     return MDState(
-        positions=jnp.asarray(pos),
-        velocities=jnp.asarray(
-            sstate.gather(np.asarray(sstate.velocities), n_atoms)
-        ),
-        forces=jnp.asarray(sstate.gather(np.asarray(sstate.forces), n_atoms)),
-        masses=jnp.asarray(sstate.gather(np.asarray(sstate.masses), n_atoms)),
-        types=jnp.asarray(
-            sstate.gather(np.asarray(sstate.types), n_atoms), jnp.int32
-        ),
-        cell=jnp.asarray(np.asarray(sstate.cell), dtype),
-        potential_energy=jnp.asarray(
-            np.asarray(sstate.potential_energy), dtype
-        ),
-        virial=jnp.asarray(np.asarray(sstate.virial), dtype),
+        positions=jnp.asarray(order(pos)),
+        velocities=jnp.asarray(order(vel)),
+        forces=jnp.asarray(order(frc)),
+        masses=jnp.asarray(order(mas)),
+        types=jnp.asarray(order(typ), jnp.int32),
+        cell=jnp.asarray(cell, dtype),
+        potential_energy=jnp.asarray(pe, dtype),
+        virial=jnp.asarray(vir, dtype),
         step=jnp.asarray(step),
     )

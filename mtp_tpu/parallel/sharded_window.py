@@ -101,9 +101,12 @@ class ShardedSimulation:
     """Host-side controller for multi-chip MD on the window kernel path.
 
     The per-atom arrays of :class:`ShardedState` are (nd*capacity, ...),
-    sharded along the mesh axis. `run` mirrors `Simulation.run_async`:
-    a host loop of (rebuild dispatch, steps dispatch) per Verlet block,
-    flags checked once at the end.
+    sharded along the mesh axis. Both drivers are a host loop of (rebuild
+    dispatch, steps dispatch) per Verlet block: `run_async` mirrors
+    `Simulation.run_async` (no per-block sync; flags accumulate on device,
+    check once at the end — the throughput path), `run` mirrors
+    `Simulation.run` (one flag sync per block, tripped blocks discarded
+    and retried after growing the relevant capacity).
     """
 
     model: MTPModel
@@ -858,17 +861,48 @@ class ShardedSimulation:
         when no recovery can help."""
         nbr, halo, mig, esc, stale = (bool(f) for f in flags)
         if nbr:
+            if self.max_neighbors >= 1024:
+                # growing J has not cleared the flag across ~7 doublings:
+                # the overflow is not neighbor-count capacity (likely bin
+                # density vs bin_capacity, or a geometry violation) and no
+                # amount of J can fix it — retrying forever would just
+                # recompile with ever-larger shapes
+                raise RuntimeError(
+                    "neighbor overflow persists at max_neighbors="
+                    f"{self.max_neighbors}: not a list-width problem. Check "
+                    "bin_capacity vs the local density, the grid geometry, "
+                    "and the system for collapse/overlap."
+                )
             grown = int(self.max_neighbors * 1.5) + 8
             self.max_neighbors = -(-grown // 8) * 8
             self._reconfigure()
             return f"max_neighbors -> {self.max_neighbors}"
         if halo:
+            if self.halo_capacity is None:
+                # already maximal (each stage's shell is a subset of its
+                # source rows): the flag is _halo_select's geometric check —
+                # a slab/brick thinner than 2*(cutoff+skin) — which no
+                # capacity can fix
+                raise RuntimeError(
+                    "halo overflow with maximal halo capacity: a domain is "
+                    "thinner than 2*(cutoff+skin). Use fewer chips along "
+                    "that axis (max chips ~ box_width/(cutoff+skin))."
+                )
             # maximal defaults: each stage's shell is a subset of its
             # source rows, so halo_capacity=None always suffices
             self.halo_capacity = None
             self._reconfigure()
             return f"halo_capacity -> max ({[st['H'] for st in self.stages]})"
         if mig:
+            if self.E >= self.capacity:
+                # migration buffers already cover every local slot: the
+                # overflow is free-slot exhaustion — a shard's population
+                # exceeds its fixed per-shard capacity
+                raise RuntimeError(
+                    "migration overflow with maximal buffers: a shard's "
+                    "population exceeds its capacity "
+                    f"({self.capacity}). Repartition with more headroom."
+                )
             self.migrate_capacity = min(
                 self.capacity, 2 * self.E + 8
             )

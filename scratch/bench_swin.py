@@ -49,7 +49,7 @@ eq = ShardedSimulation(
 )
 
 t0 = time.perf_counter()
-sstate, fl = eq.run(sstate, 60, ensemble="nve", dt=0.001)
+sstate, fl = eq.run_async(sstate, 60, ensemble="nve", dt=0.001)
 float(jnp.sum(sstate.positions))
 print("equilibrate+compile:", time.perf_counter() - t0, "flags:", bool(fl.any()))
 
@@ -57,7 +57,8 @@ n_steps = 200
 best = None
 for it in range(4):
     t0 = time.perf_counter()
-    sstate, fl = sim.run(sstate, n_steps, ensemble="nve", dt=0.001, refresh=(it == 0))
+    # run_async: the timed loop must not pay run()'s per-block flag sync
+    sstate, fl = sim.run_async(sstate, n_steps, ensemble="nve", dt=0.001, refresh=(it == 0))
     float(jnp.sum(sstate.positions))
     dt_s = time.perf_counter() - t0
     assert not bool(fl.any()), fl

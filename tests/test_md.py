@@ -285,3 +285,23 @@ def test_stale_flag_guards_long_rebuild_intervals(system):
     np.testing.assert_allclose(
         np.asarray(out.positions), np.asarray(ref.positions), atol=1e-8
     )
+
+
+def test_run_raises_when_overflow_not_curable_by_width(system):
+    """run()'s overflow recovery grows max_neighbors, but once J hits the
+    bound it must raise instead of recompiling forever: an overflow at
+    J=1024 is density/geometry, not list width."""
+    model, _ = system
+    rng = np.random.default_rng(3)
+    # 1100 atoms inside a 3 A ball: every atom has ~1099 in-cutoff
+    # neighbors > 1024, so no realistic J clears the flag
+    u = rng.normal(size=(1100, 3))
+    pos = 12.0 + 1.5 * u / np.linalg.norm(u, axis=1, keepdims=True) \
+        * rng.uniform(0, 1, (1100, 1)) ** (1 / 3)
+    cell = np.diag([24.0, 24.0, 24.0])
+    state = init_state(pos, np.zeros(1100, np.int32), np.full(1100, 58.693),
+                       cell, dtype=jnp.float64)
+    sim = Simulation(model, max_neighbors=1024, skin=0.3,
+                     steps_per_rebuild=5)
+    with pytest.raises(RuntimeError, match="not a list-width problem"):
+        sim.run(state, 5, ensemble="nve", dt=0.0001)

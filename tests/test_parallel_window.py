@@ -632,3 +632,41 @@ def test_brick_mesh_nvt_and_grades(brick_system):
     np.testing.assert_allclose(
         state2.gather(gout["grades"], n), grades_ref, rtol=1e-8, atol=1e-12
     )
+
+
+def test_recover_raises_at_dead_ends(cubic_system):
+    """_recover must raise (not retry forever) once a flag has no remaining
+    lever: J already huge, halo capacity already maximal, migration buffers
+    already covering every slot."""
+    model, pos, types, masses, cell, state = cubic_system
+    grid = grid_shape(cell, model.cutoff + SKIN)
+    sim, _ = _shard(model, pos, types, masses, cell,
+                    np.asarray(state.velocities), 2, grid=grid)
+
+    # neighbor overflow with max_neighbors at the bound
+    sim.max_neighbors = 1024
+    with pytest.raises(RuntimeError, match="not a list-width problem"):
+        sim._recover((True, False, False, False, False))
+    sim.max_neighbors = 64
+
+    # halo overflow with maximal (None) halo capacity = geometric violation
+    assert sim.halo_capacity is None
+    with pytest.raises(RuntimeError, match="thinner than"):
+        sim._recover((False, True, False, False, False))
+
+    # halo overflow WITH a finite capacity recovers by maxing it out
+    sim.halo_capacity = 32
+    sim._reconfigure()
+    assert "halo_capacity" in sim._recover((False, True, False, False, False))
+    assert sim.halo_capacity is None
+
+    # migration overflow with buffers already covering every local slot
+    sim.migrate_capacity = sim.capacity
+    sim._reconfigure()
+    with pytest.raises(RuntimeError, match="exceeds its capacity"):
+        sim._recover((False, False, True, False, False))
+
+    # migration overflow with headroom grows the buffers
+    sim.migrate_capacity = 8
+    sim._reconfigure()
+    assert "migrate_capacity" in sim._recover((False, False, True, False, False))
