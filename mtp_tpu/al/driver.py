@@ -182,7 +182,7 @@ class ExtrapolationMonitor:
             g = jnp.max(grades)
         return dict(
             forces=out["forces"], energy=out["energy"], max_grade=g,
-            grades=grades,
+            grades=grades, virial=out["virial"],
         )
 
     def _commit(self, out: dict, state: MDState, *, refresh_forces: bool):
@@ -197,11 +197,17 @@ class ExtrapolationMonitor:
             g = self.max_grade
             self._apply_thresholds(state)
         if refresh_forces:
-            # the window path already returns user-order forces
+            # the window path already returns user-order forces; the virial
+            # is refreshed too (LAMMPS fills it on every compute), so a
+            # barostatted AL run starts each segment fully consistent
+            extra = {}
+            if out.get("virial") is not None:
+                extra["virial"] = out["virial"]
             new_state = dataclasses.replace(
                 state,
                 forces=out["forces"],
                 potential_energy=out["energy"],
+                **extra,
             )
             return g, new_state
         return g
@@ -379,10 +385,14 @@ class ShardedExtrapolationMonitor:
                     "standalone evaluation has no force refresh; pass "
                     "sim/ctx for the fused window path"
                 )
+            extra = {}
+            if out.get("virial") is not None:
+                extra["virial"] = out["virial"]
             new_state = dataclasses.replace(
                 sstate,
                 forces=out["forces"],
                 potential_energy=out["energy"],
+                **extra,
             )
             return g, new_state
         return g
@@ -507,19 +517,17 @@ def run_sharded_with_extrapolation(
       retries.
 
     `sim.model` must carry the MVS selection state (grade_eval reads
-    ``sim.model.inverse_active_set``). Constant-cell ensembles only (the
-    shared pass refreshes forces/energy but not the virial).
+    ``sim.model.inverse_active_set``).
+
+    All ensembles are supported, matching the reference (a LAMMPS pair
+    style runs under any fix — `fix npt` + `fix pair ... extrapolation`
+    included): the fused grade pass tallies the virial alongside forces
+    and energy (LAMMPS fills the virial on every compute), so every
+    refresh leaves a fully consistent state for the barostat.
 
     Returns the final ShardedState; raises :class:`BreakThresholdExceeded`
     in MLIP-3 style when the break threshold is hit (stream flushed first).
     """
-    ensemble = run_kwargs.get("ensemble", "nve")
-    if ensemble not in ("nve", "nvt"):
-        raise ValueError(
-            f"run_sharded_with_extrapolation supports nve/nvt, got "
-            f"{ensemble!r} (the grade pass refreshes forces but not the "
-            "virial a barostat needs)"
-        )
     state, ctx, f4 = sim.rebuild(sstate)
     flags0 = jax.device_get(f4)
     if any(bool(f) for f in flags0):

@@ -108,11 +108,14 @@ def candidates_and_forces(
     sorted-space list) are excluded as centers; their site energies,
     candidate vectors, and pair forces are zeroed.
 
-    Returns dict(b, site_energies, energy, forces).
+    Returns dict(b, site_energies, energy, forces, virial) — the virial is
+    tallied too (LAMMPS semantics: compute() fills the virial whenever
+    vflag is set, pair_mtp.cpp:257-266), so a barostatted AL run's force
+    refresh leaves a fully consistent state.
     """
     import numpy as np
 
-    from mtp_tpu.models.mtp import _gather_rows3
+    from mtp_tpu.models.mtp import _gather_rows3, _virial_tally
 
     n = positions.shape[0]
     inv_cell = jnp.linalg.inv(cell) if cell is not None else None
@@ -170,11 +173,15 @@ def candidates_and_forces(
     b_rad = jnp.einsum("nt,nsmr->ntsmr", it_onehot, rad, precision=jax.lax.Precision.HIGHEST).reshape(n, S * S * MU * RB)
     b = jnp.concatenate([b_rad, it_onehot, basis_members], axis=1)
 
+    r = jnp.where(mask[..., None], disp, 0.0)
+    virial = jnp.sum(_virial_tally(pair_t, r), axis=0)
+
     return dict(
         b=b,
         site_energies=site_e,
         energy=jnp.sum(site_e),
         forces=forces,
+        virial=virial,
     )
 
 
@@ -226,12 +233,25 @@ def candidates_and_forces_window(
     )
     b = jnp.concatenate([b_rad, it_onehot, out["basis_members"]], axis=1)
 
+    # global virial straight from the transposed layouts (identical to
+    # mtp_energy_forces_window's compute_virial branch — LAMMPS fills the
+    # virial on every compute, grade steps included)
+    rT = dispT * maskf[None]
+    pxx = -jnp.sum(out["pair_tT"][0] * rT[0])
+    pyy = -jnp.sum(out["pair_tT"][1] * rT[1])
+    pzz = -jnp.sum(out["pair_tT"][2] * rT[2])
+    pxy = -0.5 * jnp.sum(out["pair_tT"][0] * rT[1] + out["pair_tT"][1] * rT[0])
+    pxz = -0.5 * jnp.sum(out["pair_tT"][0] * rT[2] + out["pair_tT"][2] * rT[0])
+    pyz = -0.5 * jnp.sum(out["pair_tT"][1] * rT[2] + out["pair_tT"][2] * rT[1])
+    virial = jnp.stack([pxx, pyy, pzz, pxy, pxz, pyz]).astype(dtype)
+
     site_e = out["site_e"][swl.inv_order]
     return dict(
         b=b,
         site_energies=site_e,
         energy=jnp.sum(out["site_e"]),
         forces=forces,
+        virial=virial,
     )
 
 
@@ -262,7 +282,7 @@ def grade_eval_window(
         g = jnp.max(grades)
     return dict(
         forces=out["forces"], energy=out["energy"], max_grade=g,
-        grades=grades,
+        grades=grades, virial=out["virial"],
     )
 
 

@@ -744,6 +744,19 @@ class ShardedSimulation:
             # ghost centers are masked (center_mask in rebuild), so site_e
             # is nonzero on own rows only
             pe = jax.lax.psum(jnp.sum(out["site_e"]), axes)
+            # virial too (LAMMPS fills it on every compute, grade steps
+            # included): own-centered pairs tally their half-share here,
+            # the other half at the neighbor's owner rank — psum completes
+            # it, exactly like the step path's force_eval
+            pT, rT = out["pair_tT"], dispT * maskf[None]
+            vir = jax.lax.psum(jnp.stack([
+                -jnp.sum(pT[0] * rT[0]),
+                -jnp.sum(pT[1] * rT[1]),
+                -jnp.sum(pT[2] * rT[2]),
+                -0.5 * jnp.sum(pT[0] * rT[1] + pT[1] * rT[0]),
+                -0.5 * jnp.sum(pT[0] * rT[2] + pT[2] * rT[0]),
+                -0.5 * jnp.sum(pT[1] * rT[2] + pT[2] * rT[1]),
+            ]).astype(dtype), axes)
 
             # candidate vectors in sorted row space, masked to OWN centers
             n_pad = swl.idx.shape[0]
@@ -778,7 +791,7 @@ class ShardedSimulation:
                 grades = jnp.where(own_s, grades, 0.0)
                 grades_own = _gather_scalar(grades, swl.inv_order)[:C]
                 g = jax.lax.pmax(jnp.max(grades_own), axes)
-            return fo, pe, g, grades_own
+            return fo, pe, vir, g, grades_own
 
         axis_p = P(self.axes)
         ctx_specs = {
@@ -789,7 +802,7 @@ class ShardedSimulation:
             grade_shard,
             mesh=self.mesh,
             in_specs=(axis_p, axis_p, P(), ctx_specs),
-            out_specs=(axis_p, P(), P(), axis_p),
+            out_specs=(axis_p, P(), P(), P(), axis_p),
             check_vma=False,
         )
         return jax.jit(sharded)
@@ -803,8 +816,9 @@ class ShardedSimulation:
 
         Valid whenever the block's Verlet guarantee holds (an unflagged
         segment provides it). Returns dict(forces (nd*C, 3) sharded, energy
-        (replicated scalar), max_grade (replicated device scalar), grades
-        ((nd*C,) sharded own-slot grades; zeros in configuration mode)).
+        and virial (replicated), max_grade (replicated device scalar),
+        grades ((nd*C,) sharded own-slot grades; zeros in configuration
+        mode)).
         """
         if self.model.inverse_active_set is None:
             raise ValueError(
@@ -813,10 +827,12 @@ class ShardedSimulation:
             )
         if self._grade_fn is None:
             self._grade_fn = self._make_grade_eval()
-        fo, pe, g, grades = self._grade_fn(
+        fo, pe, vir, g, grades = self._grade_fn(
             state.positions, state.real, state.cell, ctx
         )
-        return dict(forces=fo, energy=pe, max_grade=g, grades=grades)
+        return dict(
+            forces=fo, energy=pe, virial=vir, max_grade=g, grades=grades
+        )
 
     # ---------------------------------------------------------------- run
 

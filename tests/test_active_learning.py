@@ -362,3 +362,34 @@ def test_candidates_window_kernel_parity(rng, species, align):
     assert float(out_w["energy"]) == pytest.approx(
         float(out_x["energy"]), abs=1e-4
     )
+
+
+def test_extrapolation_md_npt_trajectory(mtp_level8, rng):
+    """AL under a barostat (the reference runs `fix npt` + `fix pair ...
+    extrapolation`): the grade pass now tallies the virial alongside
+    forces/energy, so the refreshed state is fully consistent and the AL
+    run must reproduce the plain NPT trajectory exactly."""
+    m = _with_realistic_mvs(mtp_level8, rng)
+    try:
+        model = MTPModel.from_data(m, dtype=jnp.float64)
+        _, state0 = _al_system(m, rng)
+        kw = dict(ensemble="npt", dt=0.001, temperature=300.0,
+                  pressure=0.0, tdamp=0.05, pdamp=0.5)
+
+        sim_ref = Simulation(model, max_neighbors=48, skin=0.6,
+                             steps_per_rebuild=5, compute_virial=True)
+        ref, _ = sim_ref.run(state0, 10, **kw)
+
+        sim = Simulation(model, max_neighbors=48, skin=0.6,
+                         steps_per_rebuild=5, compute_virial=True)
+        mon = ExtrapolationMonitor(model, max_neighbors=48)
+        state = run_with_extrapolation(sim, mon, state0, 10, al_every=5, **kw)
+        assert mon.max_grade > 0
+        np.testing.assert_allclose(
+            np.asarray(state.positions), np.asarray(ref.positions), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.cell), np.asarray(ref.cell), atol=1e-10
+        )
+    finally:
+        m.mvs = None

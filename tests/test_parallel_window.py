@@ -670,3 +670,48 @@ def test_recover_raises_at_dead_ends(cubic_system):
     sim.migrate_capacity = 8
     sim._reconfigure()
     assert "migrate_capacity" in sim._recover((False, False, True, False, False))
+
+
+def test_run_sharded_with_extrapolation_npt(al_system):
+    """AL on the sharded window engine under a barostat: the reference is a
+    LAMMPS pair style that runs under ANY fix (`fix npt` + `fix pair ...
+    extrapolation`), so the sharded driver must too. The grade-step force
+    refresh is computed at the segment's final positions — exactly where
+    the carried virial was computed — so the AL run must reproduce the
+    plain NPT trajectory."""
+    from mtp_tpu.al.driver import (
+        ShardedExtrapolationMonitor,
+        run_sharded_with_extrapolation,
+    )
+
+    model_al, pos, types, masses, cell, state0 = al_system
+    n = len(pos)
+    kw = dict(ensemble="npt", dt=0.001, temperature=300.0, pressure=0.0,
+              tdamp=0.05, pdamp=0.5)
+
+    sim1 = Simulation(
+        model_al, max_neighbors=64, skin=SKIN, steps_per_rebuild=5,
+        backend="xla", window=False, compute_virial=True,
+    )
+    ref, _ = sim1.run(state0, 12, **kw)
+
+    grid = grid_shape(cell, model_al.cutoff + SKIN)
+    sim, sstate = _shard(
+        model_al, pos, types, masses, cell,
+        np.asarray(state0.velocities), 2,
+        grid=grid, giveback=True, steps_per_rebuild=5, compute_virial=True,
+    )
+    mon = ShardedExtrapolationMonitor(
+        model_al, sim.mesh, capacity=sim.capacity, grid=grid, n_atoms=n,
+    )
+    final = run_sharded_with_extrapolation(
+        sim, mon, sstate, 12, al_every=4, **kw,
+    )
+    assert mon.max_grade > 0
+    np.testing.assert_allclose(
+        final.gather(np.asarray(final.positions), n),
+        np.asarray(ref.positions), atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final.cell), np.asarray(ref.cell), atol=1e-9,
+    )
