@@ -562,9 +562,9 @@ def run_sharded_with_extrapolation(
             # _compute is pure (no monitor state, no cfg write, no break),
             # so a tripped segment just discards it.
             pending = monitor._compute(cur, sim=sim, ctx=ctx)
-            flags = jax.device_get((*segflags, stale_acc))
+            *flags, cell_h = jax.device_get((*segflags, stale_acc, prev.cell))
             if any(bool(f) for f in flags):
-                sim._recover(flags)
+                sim._recover(tuple(flags), cell=cell_h)
                 state = prev
                 continue
             break

@@ -61,7 +61,11 @@ from mtp_tpu.models.mtp import (
     readout_vector,
     window_constants,
 )
-from mtp_tpu.ops.neighbors import SortedNeighborList, build_sorted_neighbor_list
+from mtp_tpu.ops.neighbors import (
+    SortedNeighborList,
+    build_sorted_neighbor_list,
+    grid_shape,
+)
 from mtp_tpu.ops.window_disp import TN
 from mtp_tpu.parallel.sharded_md import (
     ShardedState,
@@ -870,12 +874,30 @@ class ShardedSimulation:
             flags = (jnp.zeros((), bool),) * 4
         return state, ShardedRunFlags(*flags, stale_any)
 
-    def _recover(self, flags: tuple) -> str:
+    def _recover(self, flags: tuple, cell=None) -> str:
         """Apply the recovery policy for a tripped block (the single-chip
         `Simulation.run` contract, md/simulation.py:750-771, extended to the
         sharded flag set). Returns a short description of the action; raises
         when no recovery can help."""
         nbr, halo, mig, esc, stale = (bool(f) for f in flags)
+        if nbr and cell is not None:
+            # the neighbor flag also covers bin GEOMETRY: under NPT the box
+            # shrinks and a static grid's width/bins drops below the cutoff
+            # (the single-chip driver re-derives the grid from the live cell
+            # every block, md/simulation.py:744-747). Re-grid FIRST — growing
+            # max_neighbors cannot fix geometry and recompiles ever-larger
+            # programs for nothing.
+            ng = grid_shape(np.asarray(cell), self.w_cut)
+            if ng != tuple(self.grid):
+                if min(ng) < 3:
+                    raise RuntimeError(
+                        f"cell shrank below 3 bins per dim (grid {ng}) — "
+                        "the window path cannot cover it; use "
+                        "make_sharded_md_block for small boxes"
+                    )
+                self.grid = ng
+                self._reconfigure()
+                return f"grid -> {ng} (cell changed)"
         if nbr:
             if self.max_neighbors >= 1024:
                 # growing J has not cleared the flag across ~7 doublings:
@@ -964,11 +986,12 @@ class ShardedSimulation:
                 temperature=temperature, pressure=pressure, tdamp=tdamp,
                 pdamp=pdamp, refresh=first,
             )
-            # ONE device->host transfer for all five flags (each bool() is
-            # a separate ~50 ms sync through the axon tunnel)
-            flags = jax.device_get((*f4, stale))
+            # ONE device->host transfer for all five flags + the cell (each
+            # bool() is a separate ~50 ms sync through the axon tunnel; the
+            # cell rides along so geometry recovery can re-derive the grid)
+            *flags, cell_h = jax.device_get((*f4, stale, prev.cell))
             if any(bool(f) for f in flags):
-                self._recover(flags)
+                self._recover(tuple(flags), cell=cell_h)
                 state = prev  # discard the tripped block
                 continue
             state = new_state

@@ -715,3 +715,33 @@ def test_run_sharded_with_extrapolation_npt(al_system):
     np.testing.assert_allclose(
         np.asarray(final.cell), np.asarray(ref.cell), atol=1e-9,
     )
+
+
+def test_brick_mesh_npt_matches_single_chip(brick_system):
+    """(2,2) brick mesh under iso-MTK NPT: the tensor/scalar barostat
+    reductions psum over BOTH mesh axes and the shrinking cell's octant
+    metadata must stay exact across the two-stage halo."""
+    model, pos, types, masses, cell, state0 = brick_system
+    kw = dict(ensemble="npt", dt=0.001, temperature=300.0, pressure=0.0,
+              tdamp=0.05, pdamp=0.5)
+    sim1 = Simulation(
+        model, max_neighbors=64, skin=SKIN, steps_per_rebuild=10,
+        backend="xla", window=False, compute_virial=True,
+    )
+    ref, _ = sim1.run(state0, 20, **kw)
+
+    grid = grid_shape(cell, model.cutoff + SKIN)
+    sim, sstate = _brick(
+        model, pos, types, masses, cell, np.asarray(state0.velocities),
+        (2, 2), grid=grid, giveback=True, compute_virial=True,
+    )
+    out, flags = sim.run(sstate, 20, **kw)
+    assert not bool(flags.any()), flags
+    n = len(pos)
+    np.testing.assert_allclose(
+        out.gather(np.asarray(out.positions), n),
+        np.asarray(ref.positions), atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.cell), np.asarray(ref.cell), atol=1e-10,
+    )
