@@ -799,6 +799,14 @@ class Simulation:
                 observer(state)
         return state, aux
 
+    def minimize(self, state: MDState, **kw):
+        """FIRE 2.0 relaxation (LAMMPS ``minimize`` analog) on this
+        simulation's neighbor/force engine — see
+        :func:`mtp_tpu.md.minimize.fire_minimize` for the knobs."""
+        from mtp_tpu.md.minimize import fire_minimize
+
+        return fire_minimize(self, state, **kw)
+
 
 def _default_aux(ensemble, state):
     dtype = state.positions.dtype
