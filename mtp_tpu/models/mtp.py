@@ -140,6 +140,42 @@ def gather_displacements(positions, nbr_idx, cell=None, inv_cell=None):
     return disp
 
 
+def gather_displacements_df(positions, nbr_idx, cell=None, inv_cell=None):
+    """Exact double-float displacements: (hi, lo) with hi+lo == x_j - x_i
+    minus the integer image shift, exactly, given f32 inputs.
+
+    The raw subtraction uses the error-free two_sum; the image SHIFT decision
+    is made in f32 (an integer choice, robust far from the wrap boundary —
+    the same minimum-image validity constraint as `minimum_image`), and the
+    shift correction -s @ cell is applied with exact two_prod accumulation.
+    This removes minimum-image f32 rounding (~ulp(box) ~ 1.5e-5 A at 252 A)
+    as an input perturbation to the df32 accuracy path — at bench scale that
+    rounding alone would exceed the <1e-6 force gate.
+    """
+    from mtp_tpu.ops import df32 as df
+
+    xj = _gather_rows3(positions, nbr_idx)
+    xi = positions[:, None, :]
+    hi, lo = df.two_sum(xj, -xi)
+    if cell is None:
+        return hi, lo
+    d = [hi[..., 0], hi[..., 1], hi[..., 2]]
+    s = [
+        jnp.round(
+            d[0] * inv_cell[0, a] + d[1] * inv_cell[1, a] + d[2] * inv_cell[2, a]
+        )
+        for a in range(3)
+    ]
+    out_hi, out_lo = [], []
+    for a in range(3):
+        acc = (hi[..., a], lo[..., a])
+        for k in range(3):
+            acc = df.add(acc, df.neg(df.prod_ff(s[k], cell[k, a])))
+        out_hi.append(acc[0])
+        out_lo.append(acc[1])
+    return jnp.stack(out_hi, axis=-1), jnp.stack(out_lo, axis=-1)
+
+
 @partial(
     jax.jit,
     static_argnames=("sched", "remat", "compute_vatom", "backend", "compute_virial"),
@@ -174,8 +210,12 @@ def mtp_energy_forces(
         (N, J) jtypes gather out of a `lax.scan` (measured ~11 ms/step at
         32k x 48 on v5e), so callers stepping in a scan must precompute them
         outside the loop (Simulation does).
-      backend: "pallas" (fused TPU kernels; interpreted on CPU), "xla", or
-        "auto" (pallas on TPU, xla elsewhere).
+      backend: "pallas" (fused TPU kernels; interpreted on CPU), "xla",
+        "auto" (pallas on TPU, xla elsewhere), or "df32" — the double-float
+        accuracy mode (ops/moments_df.py): the reference's all-double
+        accuracy class (pair_mtp.cpp) on f64-less TPU hardware, ~1e-7 force
+        parity vs the f64 oracle at a several-x cost; for validation /
+        reference-grade single points, not the MD hot loop.
 
     Returns dict: energy (scalar), site_energies (N,), forces (N,3),
     virial (6,) in Voigt order (xx,yy,zz,xy,xz,yz), and optionally
@@ -183,7 +223,11 @@ def mtp_energy_forces(
     """
     n = positions.shape[0]
     inv_cell = jnp.linalg.inv(cell) if cell is not None else None
-    disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
+    disp_lo = None
+    if backend == "df32":
+        disp, disp_lo = gather_displacements_df(positions, nbr_idx, cell, inv_cell)
+    else:
+        disp = gather_displacements(positions, nbr_idx, cell, inv_cell)
     d2 = jnp.sum(disp * disp, axis=-1)
     if pair_valid is None:
         pair_valid = nbr_idx != jnp.arange(n, dtype=nbr_idx.dtype)[:, None]
@@ -199,6 +243,14 @@ def mtp_energy_forces(
     if backend == "pallas":
         site_e, pair_t = _pallas_site_energy_vjp(
             sched, coeffs, disp, mask, itypes, jtypes
+        )
+    elif backend == "df32":
+        # reference-accuracy-class (all-double, pair_mtp.cpp) evaluation on
+        # f64-less TPU hardware: the whole chain in double-float arithmetic
+        from mtp_tpu.ops.moments_df import energy_and_pair_forces_df
+
+        site_e, pair_t = energy_and_pair_forces_df(
+            sched, coeffs, disp, mask, itypes, jtypes, disp_lo=disp_lo
         )
     else:
         fn = site_energies
