@@ -27,6 +27,13 @@ Design notes (TPU-first):
   partial in df.
 * Atom-chunked via lax.map so the (n, J, B) df intermediates stay bounded;
   throughput is secondary — this is the accuracy mode, not the MD hot path.
+
+CPU-compile caveat: jax 0.9.0's new MLIR CPU fusion emitters take tens of
+minutes of LLVM time on this module's long error-free-transform chains
+(measured >18 min for a level-8 graph; 5 s with the legacy emitters). When
+compiling the df32 path for CPU (tests, offline validation), set
+``XLA_FLAGS=--xla_cpu_use_fusion_emitters=false`` before importing jax —
+tests/conftest.py does. TPU compiles are unaffected (~26 s at 4k).
 """
 
 from __future__ import annotations
@@ -38,6 +45,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtp_tpu.ops import df32 as df
+
+
+def _barrier(*trees):
+    """`optimization_barrier` between pipeline stages.
+
+    The df arithmetic builds extremely LONG sequential dependency chains of
+    tiny add/sub ops (every error-free transform is ~6 serial ops); XLA's
+    CPU fusion/simplification passes go superlinear on such chains — a
+    level-8 module (5.6k HLO ops) measured >10 min to compile on one CPU
+    core without barriers. Cutting the graph at stage boundaries bounds
+    every pass's working set; the df values flowing through are tiny
+    ((chunk, M) pairs), so the lost fusion is noise at runtime. The barrier
+    is also a semantics GUARANTEE the df recipes want: no algebraic rewrite
+    can ever look across stages.
+    """
+    out = jax.lax.optimization_barrier(trees)
+    return out if len(trees) > 1 else out[0]
 
 
 def _unique_batches(idx):
@@ -113,6 +137,7 @@ def _chebyshev_df(sched, dist):
                 ders[i - 2],
             )
         )
+        vals[i], ders[i] = _barrier(vals[i], ders[i])
 
     def stack(xs):
         return (
@@ -158,6 +183,7 @@ def _chunk_eval(sched, coeffs, disp_hi, disp_lo, mask, itypes, jtypes):
     rc = coeffs.radial_coeffs.astype(f32)[itypes[:, None], jtypes]  # (n,J,MU,RB)
     f_mu = df.tree_sum(df.mul_f((vals[0][..., None, :], vals[1][..., None, :]), rc), axis=-1)
     fder_mu = df.tree_sum(df.mul_f((ders[0][..., None, :], ders[1][..., None, :]), rc), axis=-1)
+    f_mu, fder_mu = _barrier(f_mu, fder_mu)
 
     # --- unit-vector powers ---
     u = df.div(disp, (dist[0][..., None], dist[1][..., None]))
@@ -180,7 +206,7 @@ def _chunk_eval(sched, coeffs, disp_hi, disp_lo, mask, itypes, jtypes):
     FU = df.mul(F, U)
     zb = (zero(FU[0]), zero(FU[1]))
     FU = df.where(mask[..., None], FU, zb)
-    m_basic = df.tree_sum(FU, axis=1)  # (n, B)
+    m_basic = _barrier(df.tree_sum(FU, axis=1))  # (n, B)
 
     # --- DAG contraction ---
     n = disp_hi.shape[0]
@@ -197,14 +223,14 @@ def _chunk_eval(sched, coeffs, disp_hi, disp_lo, mask, itypes, jtypes):
             df.mul((m[0][:, a0], m[1][:, a0]), (m[0][:, a1], m[1][:, a1])),
             jnp.asarray(mlt, f32),
         )
-        m = _df_scatter_add_cols(m, a3, contrib)
+        m = _barrier(_df_scatter_add_cols(m, a3, contrib))
 
     # --- readout ---
     mapping = sched.mapping
     bm = (m[0][:, mapping], m[1][:, mapping])
     mc = coeffs.moment_coeffs.astype(f32)
     site_e = df.tree_sum(df.mul_f(bm, mc), axis=1)
-    site_e = df.add_f(site_e, coeffs.species_coeffs.astype(f32)[itypes])
+    site_e = _barrier(df.add_f(site_e, coeffs.species_coeffs.astype(f32)[itypes]))
 
     # --- reverse pass: g = dE_total/dm ---
     g = (jnp.zeros((n, M), f32), jnp.zeros((n, M), f32))
@@ -220,7 +246,7 @@ def _chunk_eval(sched, coeffs, disp_hi, disp_lo, mask, itypes, jtypes):
         a0, a1, mlt, a3 = (wave[:, k] for k in range(4))
         t = df.mul_f((g[0][:, a3], g[1][:, a3]), jnp.asarray(mlt, f32))
         g = _df_scatter_add_cols(g, a0, df.mul(t, (m[0][:, a1], m[1][:, a1])))
-        g = _df_scatter_add_cols(g, a1, df.mul(t, (m[0][:, a0], m[1][:, a0])))
+        g = _barrier(_df_scatter_add_cols(g, a1, df.mul(t, (m[0][:, a0], m[1][:, a0]))))
     gb = (g[0][:, None, : sched.basic_count], g[1][:, None, : sched.basic_count])
 
     # --- per-pair force terms ---
@@ -235,9 +261,9 @@ def _chunk_eval(sched, coeffs, disp_hi, disp_lo, mask, itypes, jtypes):
             df.mul(W, df.mul_f(base, jnp.asarray(own_exp, f32))), axis=-1
         )
 
-    Px = p_comp(axm, ax, Uy, Uz, 0)
-    Py = p_comp(aym, ay, Ux, Uz, 1)
-    Pz = p_comp(azm, az, Ux, Uy, 2)
+    Px = _barrier(p_comp(axm, ax, Uy, Uz, 0))
+    Py = _barrier(p_comp(aym, ay, Ux, Uz, 1))
+    Pz = _barrier(p_comp(azm, az, Ux, Uy, 2))
     P = (
         jnp.stack([Px[0], Py[0], Pz[0]], axis=-1),
         jnp.stack([Px[1], Py[1], Pz[1]], axis=-1),

@@ -5,8 +5,15 @@ golden-parity checks are exact."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# --xla_cpu_use_fusion_emitters=false: jax 0.9.0's new MLIR CPU fusion
+# emitters spin for tens of minutes in LLVM on the df32 path's error-free-
+# transform chains (one level-8 module measured >18 min -> 5 s with the
+# legacy emitters; the hang sits between a fused kernel's ir-no-opt and
+# ir-with-opt dumps). CPU-only flag; the TPU production path is unaffected.
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_use_fusion_emitters=false"
 )
 
 import jax  # noqa: E402

@@ -9,6 +9,8 @@ infeasible (32k would take hours).
 Usage:
     python tools/accuracy_gate.py          # full: oracle subprocess + fp32
     python tools/accuracy_gate.py --oracle # (internal) f64 CPU oracle only
+    python tools/accuracy_gate.py --df32   # double-float accuracy mode
+    python tools/accuracy_gate.py --fp32-cpu  # plain-f32-math floor (no TPU)
 
 Writes /tmp/acc_gate_oracle.npz from the subprocess, prints one JSON line
 with max|dF|, RMS dF, dE/atom (both naive-fp32 and f64-host-summed), and
@@ -28,16 +30,28 @@ ORACLE_NPZ = "/tmp/acc_gate_oracle.npz"
 
 
 def _config_positions():
-    """The bench config, thermally displaced: deterministic f64 positions
-    shared by both processes (displacements minted on the host, NOT by
-    running MD, so oracle and fp32 process see bitwise-identical inputs)."""
+    """The bench config, thermally displaced: deterministic positions shared
+    by both processes (displacements minted on the host, NOT by running MD,
+    so oracle and fp32 process see bitwise-identical inputs).
+
+    Positions/cell are rounded to f32 ONCE here, so the oracle evaluates at
+    exactly the configuration the fp32 path sees — the gate then measures
+    the EVALUATOR's arithmetic error, not the f32 representation error of
+    the coordinates (~ulp(252 A) = 1.5e-5 A, which maps to ~1.5e-5 eV/A of
+    force perturbation at this stiffness and would swamp the df32 path's
+    ~1e-7). The representation error is a property of storing coordinates
+    in f32 at 252 A box scale, shared by every f32 consumer of the same
+    snapshot; evaluator parity (this gate, = the reference's MLIP-3 parity
+    methodology) is measured at a representable configuration."""
     from mtp_tpu.md.simulation import make_lattice
 
     pos, types, cell = make_lattice("fcc", CFG["a"], CFG["reps"])
     rng = np.random.default_rng(CFG["seed"])
     # ~300 K thermal displacement amplitude for fcc Ni (sigma ~ 0.07 A)
     pos = pos + rng.normal(scale=0.07, size=pos.shape)
-    return pos.astype(np.float64), types, np.asarray(cell, np.float64)
+    pos = pos.astype(np.float32).astype(np.float64)
+    cell = np.asarray(cell, np.float32).astype(np.float64)
+    return pos, types, cell
 
 
 def run_oracle():
@@ -168,6 +182,82 @@ def run_fp32(force_cpu=False):
     print(json.dumps(d))
 
 
+def run_df32():
+    """The df32 (double-float) accuracy mode at the bench config: the
+    reference's all-double accuracy class (pair_mtp.cpp) on f64-less TPU
+    hardware. Measures max|dF| vs the f64 oracle AND the cost per eval
+    (amortized in one lax.scan; anti-hoist input perturbation per CLAUDE.md)
+    so PARITY.md can state the accuracy-vs-cost frontier with numbers."""
+    import time
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    from mtp_tpu.io.basis_gen import make_mtp
+    from mtp_tpu.models.mtp import MTPModel, mtp_energy_forces
+    from mtp_tpu.ops.neighbors import build_neighbor_list, grid_shape
+
+    m = make_mtp(CFG["level"], species_count=1, seed=CFG["seed"])
+    model = MTPModel.from_data(m, dtype=jnp.float32)
+    pos, types, cell = _config_positions()
+    n = len(pos)
+    backend = jax.default_backend()
+    pos32 = jnp.asarray(pos, jnp.float32)
+    cell32 = jnp.asarray(cell, jnp.float32)
+    nl = build_neighbor_list(
+        pos32.astype(jnp.float64) if jax.config.jax_enable_x64 else pos32,
+        cell32, model.cutoff, max_neighbors=64,
+        grid=grid_shape(cell, model.cutoff), with_reverse=True,
+    )
+    assert not bool(nl.overflow)
+    args = (model.schedule, model.coeffs, pos32,
+            jnp.asarray(types, jnp.int32), nl.idx, cell32, nl.mirror)
+
+    out = mtp_energy_forces(*args, backend="df32")
+    f_df = np.asarray(out["forces"], np.float64)
+    e_df = float(out["energy"])
+
+    ref = np.load(ORACLE_NPZ)
+    df_err = np.abs(f_df - ref["forces"])
+    fmag = np.linalg.norm(ref["forces"], axis=1)
+
+    def timed(bk, iters):
+        def one(x, i):
+            o = mtp_energy_forces(
+                model.schedule, model.coeffs, x + i * jnp.float32(1e-30),
+                jnp.asarray(types, jnp.int32), nl.idx, cell32, nl.mirror,
+                backend=bk,
+            )
+            return x, o["forces"][0, 0]
+
+        @jax.jit
+        def loop(x):
+            _, ys = jax.lax.scan(one, x, jnp.arange(iters, dtype=jnp.float32))
+            return ys.sum()
+
+        float(loop(pos32))  # compile + warm
+        t0 = time.time()
+        float(loop(pos32))
+        return (time.time() - t0) / iters * 1e3
+
+    ms_df = timed("df32", 4)
+    ms_32 = timed("pallas" if backend == "tpu" else "xla", 20)
+    d = dict(
+        metric="accuracy-gate df32 (32k level-16 thermal fcc, %s)" % backend,
+        n_atoms=n,
+        max_abs_dF=float(df_err.max()),
+        rms_dF=float(np.sqrt((df_err**2).mean())),
+        force_scale_rms=float(np.sqrt((fmag**2).mean())),
+        dE_per_atom=float(abs(e_df - float(ref["energy"])) / n),
+        df32_ms_per_eval=ms_df,
+        fp32_ms_per_eval=ms_32,
+        cost_ratio=ms_df / ms_32,
+    )
+    print(json.dumps(d))
+
+
 if __name__ == "__main__":
     if "--oracle" in sys.argv:
         run_oracle()
@@ -184,4 +274,7 @@ if __name__ == "__main__":
     # --fp32-cpu: measure the plain-f32-math floor (XLA CPU path, no TPU
     # kernels/MXU) — separates fundamental fp32 rounding from TPU-specific
     # error in the frontier analysis (PARITY.md)
-    run_fp32(force_cpu="--fp32-cpu" in sys.argv)
+    if "--df32" in sys.argv:
+        run_df32()
+    else:
+        run_fp32(force_cpu="--fp32-cpu" in sys.argv)

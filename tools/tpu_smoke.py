@@ -150,6 +150,32 @@ def main():
     print(f"integrator transforms: max|dr|={dmax:.2e} max|dh|={cmax:.2e} "
           f"{'OK' if good else 'FAIL'}")
 
+    # df32 accuracy mode: the error-free transforms (two_sum / two_prod)
+    # must be EXACT on the VPU — they rely on correctly-rounded f32 +,-,*
+    # and on XLA not algebraically simplifying the cancellation patterns.
+    # If either assumption breaks (compiler flag change, fast-math sneaking
+    # in), the df32 backend silently degrades to fp32 accuracy; this gate
+    # catches it on device (CPU tests compile through a different backend).
+    from mtp_tpu.ops import df32 as dfm
+
+    a = rng.uniform(-100, 100, 8192).astype(np.float32)
+    b = rng.uniform(-100, 100, 8192).astype(np.float32)
+
+    @jax.jit
+    def eft(a, b):
+        s, e = dfm.two_sum(a, b)
+        p, q = dfm.two_prod(a, b)
+        return s, e, p, q
+
+    s, e, p, q = [np.asarray(x, np.float64)
+                  for x in eft(jnp.asarray(a), jnp.asarray(b))]
+    ts_ok = np.array_equal(s + e, a.astype(np.float64) + b.astype(np.float64))
+    tp_ok = np.array_equal(p + q, a.astype(np.float64) * b.astype(np.float64))
+    good = ts_ok and tp_ok
+    ok &= good
+    print(f"df32 error-free transforms: two_sum={'exact' if ts_ok else 'BROKEN'} "
+          f"two_prod={'exact' if tp_ok else 'BROKEN'} {'OK' if good else 'FAIL'}")
+
     print("tpu_smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
