@@ -27,6 +27,22 @@ import pytest  # noqa: E402
 from mtp_tpu.io.basis_gen import make_mtp  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop jit/compile caches after each test module.
+
+    The suite compiles hundreds of distinct XLA programs (every Simulation
+    backend/ensemble/mesh variant); holding all executables for the whole
+    run accumulated >128 GB anon RSS on a 1-CPU host — the kernel OOM-killed
+    one full run (dmesg) and a second died with a malloc-path segfault
+    inside backend_compile_and_load at the same test. Per-module clearing
+    bounds the footprint; cross-module recompiles are minimal because jit
+    caches rarely hit across modules anyway (different models/shapes).
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mtp_level8():
     return make_mtp(8, species_count=1, seed=0)
