@@ -320,6 +320,39 @@ def main():
     _jsonline(config="1M-atom level-16 NVE (single chip)", atoms=n,
               atom_steps_per_s=round(v, 1), overflow=bool(ovf))
 
+    # 6b. 1M NPT with per-step stress, steady state. External pressure set
+    # to the system's own instantaneous pressure so the cell only breathes
+    # (a 0-bar target from the minted potential's ~-90 kbar start quenches
+    # ~2.5%/100 steps and legitimately overflows fixed capacities —
+    # scratch/probe_1m_npt*.py; run() recovers but that measures recompile
+    # time, not throughput). The NPT step itself measured +4% over NVE.
+    sim_npt = Simulation(model16, max_neighbors=64, skin=0.6,
+                         steps_per_rebuild=30, compute_virial=True,
+                         giveback=True, grid_margin=1.05)
+    grid_1m = grid_shape(np.asarray(jax.device_get(state.cell)),
+                         (model16.cutoff + 0.6) * 1.05)
+    nl_1m = sim_npt.rebuild(state, grid=grid_1m, max_neighbors=64)
+    st_npt = sim_npt.refresh_forces(state, nl_1m, ensemble="npt")
+    from mtp_tpu.md.state import pressure_of as _p_of
+
+    p0 = float(_p_of(st_npt))
+    npt_kw = dict(ensemble="npt", dt=0.001, temperature=300.0, pressure=p0,
+                  tdamp=0.1, pdamp=2.0)
+    st_npt, aux_npt, ovf = sim_npt.run_async(st_npt, 30, refresh=False,
+                                             **npt_kw)
+    float(jnp.sum(st_npt.positions)); assert not bool(ovf)
+    v = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st_npt, aux_npt, ovf = sim_npt.run_async(st_npt, 90, aux=aux_npt,
+                                                 refresh=False, **npt_kw)
+        float(jnp.sum(st_npt.positions))
+        v = max(v, n * 90 / (time.perf_counter() - t0))
+        assert not bool(ovf)
+    _jsonline(config="1M-atom level-16 NPT (per-step stress, single chip)",
+              atoms=n, atom_steps_per_s=round(v, 1),
+              pressure_bar=round(p0, 1), overflow=bool(ovf))
+
     # 7. distributed window engine on a 1-device TPU mesh: the driver-visible
     # record of the sharded/single-chip ratio every round (the full
     # migration + halo + shard_map pipeline must stay within a few % of the
